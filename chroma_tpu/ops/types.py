@@ -1,0 +1,439 @@
+"""Device geometry representation: flat arrays, no pointers.
+
+This is the TPU replacement for the reference's pointer-based device structs
+(reference: chroma/cuda/geometry_types.h, chroma/gpu/geometry.py). Key
+transformations:
+
+  * Material/surface property tables become dense (n, prop, wavelength)
+    arrays resampled on the uniform standard wavelength grid, so a property
+    lookup is one gather plus a fused multiply-add
+    (reference resamples the same way: chroma/gpu/geometry.py:44-49).
+  * Per-triangle material/surface indices keep the reference's packed code
+    word: (material1 << 24) | (material2 << 16) | (surface << 8), with
+    8-bit sign extension for "no surface" == -1
+    (reference: chroma/gpu/geometry.py:401-404, cuda/photon.h:360-363).
+  * The layered BVH is re-laid into DFS preorder with escape links
+    (chroma_tpu.bvh.dfs) so traversal needs no per-lane stack.
+  * Variable-length reemission component lists are padded to the maximum
+    component count; dichroic/angular tables are stored compactly and
+    indexed per surface.
+
+All containers are flax.struct dataclasses, hence pytrees: they pass
+through jit/shard_map unchanged and shard naturally.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+from chroma_tpu.geometry import standard_wavelengths, standard_times
+from chroma_tpu.bvh.dfs import flatten_to_dfs
+
+# property row indices in MaterialTables.props
+MAT_REFRACTIVE_INDEX = 0
+MAT_ABSORPTION_LENGTH = 1
+MAT_SCATTERING_LENGTH = 2
+
+# property row indices in SurfaceTables.props
+SURF_DETECT = 0
+SURF_ABSORB = 1
+SURF_REEMIT = 2
+SURF_REFLECT_DIFFUSE = 3
+SURF_REFLECT_SPECULAR = 4
+SURF_ETA = 5
+SURF_K = 6
+SURF_REEMISSION_CDF = 7
+
+
+@struct.dataclass
+class MaterialTables:
+    # (n_materials, 3, n_wavelength) f32: rindex / absorption / scattering
+    props: jnp.ndarray
+    # (n_materials,) i32 number of reemission components
+    num_comp: jnp.ndarray
+    # (n_materials, max_comp, n_wavelength) f32, padded with +inf
+    comp_absorption_length: jnp.ndarray
+    # (n_materials, max_comp, n_wavelength) f32
+    comp_reemission_prob: jnp.ndarray
+    # (n_materials, max_comp, n_wavelength) f32 cumulative
+    comp_reemission_wvl_cdf: jnp.ndarray
+    # (n_materials, max_comp, n_time) f32 cumulative
+    comp_reemission_time_cdf: jnp.ndarray
+
+    wavelength0: float = struct.field(pytree_node=False)
+    wavelength_step: float = struct.field(pytree_node=False)
+    n_wavelength: int = struct.field(pytree_node=False)
+    time0: float = struct.field(pytree_node=False)
+    time_step: float = struct.field(pytree_node=False)
+    n_time: int = struct.field(pytree_node=False)
+    max_comp: int = struct.field(pytree_node=False)
+
+
+@struct.dataclass
+class SurfaceTables:
+    # (n_surfaces, 8, n_wavelength) f32
+    props: jnp.ndarray
+    model: jnp.ndarray         # (n_surfaces,) i32
+    transmissive: jnp.ndarray  # (n_surfaces,) i32
+    thickness: jnp.ndarray     # (n_surfaces,) f32
+
+    # compact dichroic tables, selected by dichroic_index (-1 = none)
+    dichroic_index: jnp.ndarray      # (n_surfaces,) i32
+    dichroic_angles: jnp.ndarray     # (n_dichroic, max_angles) f32, pad +inf
+    dichroic_nangles: jnp.ndarray    # (n_dichroic,) i32
+    dichroic_reflect: jnp.ndarray    # (n_dichroic, max_angles, n_wavelength)
+    dichroic_transmit: jnp.ndarray   # (n_dichroic, max_angles, n_wavelength)
+
+    # compact angular tables, selected by angular_index (-1 = none)
+    angular_index: jnp.ndarray       # (n_surfaces,) i32
+    angular_angles: jnp.ndarray      # (n_angular, max_angles) f32, pad +inf
+    angular_nangles: jnp.ndarray     # (n_angular,) i32
+    angular_transmit: jnp.ndarray    # (n_angular, max_angles) f32
+    angular_reflect_specular: jnp.ndarray
+    angular_reflect_diffuse: jnp.ndarray
+
+
+@struct.dataclass
+class WirePlaneArrays:
+    """Analytic wire-plane parameters, SoA over planes. The u/v frame is
+    orthonormalized on the host so the device math stays in f32
+    (reference computes the frame per-photon in FP64:
+    chroma/cuda/photon.h:115-127)."""
+    origin: jnp.ndarray  # (P,3) f32
+    u: jnp.ndarray       # (P,3) f32 unit wire-axis
+    v: jnp.ndarray       # (P,3) f32 unit in-plane normal to wires
+    w: jnp.ndarray       # (P,3) f32 plane normal (u x v)
+    pitch: jnp.ndarray   # (P,) f32
+    radius: jnp.ndarray  # (P,) f32
+    umin: jnp.ndarray
+    umax: jnp.ndarray
+    vmin: jnp.ndarray
+    vmax: jnp.ndarray
+    v0: jnp.ndarray
+    surface_index: jnp.ndarray         # (P,) i32
+    material_inner_index: jnp.ndarray  # (P,) i32
+    material_outer_index: jnp.ndarray  # (P,) i32
+
+
+@struct.dataclass
+class DetectorArrays:
+    """DAQ channel map + shared time/charge CDFs
+    (reference: chroma/cuda/detector.h, chroma/gpu/detector.py)."""
+    solid_id_to_channel_index: jnp.ndarray  # (n_solids,) i32
+    time_cdf_x: jnp.ndarray    # (nt,) f32
+    time_cdf_y: jnp.ndarray    # (nt,) f32
+    charge_cdf_x: jnp.ndarray  # (nq,) f32
+    charge_cdf_y: jnp.ndarray  # (nq,) f32
+    charge_unit: jnp.ndarray   # () f32  (quantization step = qmax / 2^16)
+    nchannels: int = struct.field(pytree_node=False)
+
+
+@struct.dataclass
+class GeometryArrays:
+    """The full device geometry."""
+    vertices: jnp.ndarray        # (V,3) f32
+    triangles: jnp.ndarray       # (T,3) i32
+    material_codes: jnp.ndarray  # (T,) u32
+    colors: jnp.ndarray          # (T,) u32
+    solid_id: jnp.ndarray        # (T,) i32
+
+    # DFS-ordered BVH: packed AABB + leaf triangle id, and escape links
+    nodes: jnp.ndarray           # (M,4) u32
+    escape: jnp.ndarray          # (M,) i32
+    world_origin: jnp.ndarray    # (3,) f32
+    world_scale: jnp.ndarray     # () f32
+
+    materials: MaterialTables
+    surfaces: SurfaceTables
+    wireplanes: WirePlaneArrays | None
+    detector: DetectorArrays | None
+
+    n_nodes: int = struct.field(pytree_node=False)
+
+    @property
+    def has_wireplanes(self):
+        return self.wireplanes is not None
+
+    @property
+    def has_detector(self):
+        return self.detector is not None
+
+
+def _interp_property(prop, grid):
+    "Resample a (wavelength, value) pair table onto a uniform grid."
+    assert prop is not None, 'material/surface property must not be None'
+    return np.interp(grid, prop[:, 0], prop[:, 1]).astype(np.float32)
+
+
+def build_material_tables(materials, wavelengths=None, times=None):
+    if wavelengths is None:
+        wavelengths = standard_wavelengths
+    if times is None:
+        times = standard_times
+    n_wl = len(wavelengths)
+    n_t = len(times)
+    n_mat = len(materials)
+    max_comp = max([len(m.comp_reemission_prob) for m in materials] + [1])
+
+    props = np.zeros((n_mat, 3, n_wl), dtype=np.float32)
+    num_comp = np.zeros(n_mat, dtype=np.int32)
+    comp_abs = np.full((n_mat, max_comp, n_wl), np.inf, dtype=np.float32)
+    comp_prob = np.zeros((n_mat, max_comp, n_wl), dtype=np.float32)
+    comp_wvl = np.zeros((n_mat, max_comp, n_wl), dtype=np.float32)
+    comp_time = np.zeros((n_mat, max_comp, n_t), dtype=np.float32)
+
+    for i, m in enumerate(materials):
+        if m is None:
+            raise Exception('one or more triangles is missing a material.')
+        props[i, MAT_REFRACTIVE_INDEX] = _interp_property(
+            m.refractive_index, wavelengths)
+        props[i, MAT_ABSORPTION_LENGTH] = _interp_property(
+            m.absorption_length, wavelengths)
+        props[i, MAT_SCATTERING_LENGTH] = _interp_property(
+            m.scattering_length, wavelengths)
+        nc = len(m.comp_reemission_prob)
+        num_comp[i] = nc
+        for c in range(nc):
+            comp_prob[i, c] = _interp_property(m.comp_reemission_prob[c],
+                                               wavelengths)
+            comp_wvl[i, c] = _interp_property(m.comp_reemission_wvl_cdf[c],
+                                              wavelengths)
+            comp_time[i, c] = _interp_property(m.comp_reemission_time_cdf[c],
+                                               times)
+            comp_abs[i, c] = _interp_property(m.comp_absorption_length[c],
+                                              wavelengths)
+
+    return MaterialTables(
+        props=jnp.asarray(props),
+        num_comp=jnp.asarray(num_comp),
+        comp_absorption_length=jnp.asarray(comp_abs),
+        comp_reemission_prob=jnp.asarray(comp_prob),
+        comp_reemission_wvl_cdf=jnp.asarray(comp_wvl),
+        comp_reemission_time_cdf=jnp.asarray(comp_time),
+        wavelength0=float(wavelengths[0]),
+        wavelength_step=float(wavelengths[1] - wavelengths[0]),
+        n_wavelength=n_wl,
+        time0=float(times[0]),
+        time_step=float(times[1] - times[0]),
+        n_time=n_t,
+        max_comp=max_comp,
+    )
+
+
+def build_surface_tables(surfaces, wavelengths=None):
+    if wavelengths is None:
+        wavelengths = standard_wavelengths
+    n_wl = len(wavelengths)
+    real = [s for s in surfaces]
+    n_surf = max(len(real), 1)
+
+    props = np.zeros((n_surf, 8, n_wl), dtype=np.float32)
+    model = np.zeros(n_surf, dtype=np.int32)
+    transmissive = np.zeros(n_surf, dtype=np.int32)
+    thickness = np.zeros(n_surf, dtype=np.float32)
+    dichroic_index = np.full(n_surf, -1, dtype=np.int32)
+    angular_index = np.full(n_surf, -1, dtype=np.int32)
+
+    dichroics = []
+    angulars = []
+
+    prop_names = ['detect', 'absorb', 'reemit', 'reflect_diffuse',
+                  'reflect_specular', 'eta', 'k', 'reemission_cdf']
+
+    for i, s in enumerate(real):
+        if s is None:
+            continue  # index -1 is encoded in material_codes, row unused
+        for j, name in enumerate(prop_names):
+            props[i, j] = _interp_property(getattr(s, name), wavelengths)
+        model[i] = s.model
+        transmissive[i] = int(bool(getattr(s, 'transmissive', 0)))
+        thickness[i] = float(getattr(s, 'thickness', 0.0))
+        if s.dichroic_props is not None:
+            dichroic_index[i] = len(dichroics)
+            dichroics.append(s.dichroic_props)
+        if s.angular_props is not None:
+            angular_index[i] = len(angulars)
+            angulars.append(s.angular_props)
+
+    def pad_dichroic():
+        n = max(len(dichroics), 1)
+        max_ang = max([len(d.angles) for d in dichroics] + [2])
+        angles = np.full((n, max_ang), np.inf, dtype=np.float32)
+        nang = np.full(n, 2, dtype=np.int32)
+        refl = np.zeros((n, max_ang, n_wl), dtype=np.float32)
+        trans = np.zeros((n, max_ang, n_wl), dtype=np.float32)
+        for k, d in enumerate(dichroics):
+            na = len(d.angles)
+            nang[k] = na
+            angles[k, :na] = d.angles
+            for a in range(na):
+                refl[k, a] = _interp_property(
+                    np.asarray(d.dichroic_reflect[a]), wavelengths)
+                trans[k, a] = _interp_property(
+                    np.asarray(d.dichroic_transmit[a]), wavelengths)
+        return angles, nang, refl, trans
+
+    def pad_angular():
+        n = max(len(angulars), 1)
+        max_ang = max([len(a.angles) for a in angulars] + [2])
+        angles = np.full((n, max_ang), np.inf, dtype=np.float32)
+        nang = np.full(n, 2, dtype=np.int32)
+        trans = np.zeros((n, max_ang), dtype=np.float32)
+        rspec = np.zeros((n, max_ang), dtype=np.float32)
+        rdiff = np.zeros((n, max_ang), dtype=np.float32)
+        for k, a in enumerate(angulars):
+            na = len(a.angles)
+            nang[k] = na
+            angles[k, :na] = a.angles
+            trans[k, :na] = a.transmit
+            rspec[k, :na] = a.reflect_specular
+            rdiff[k, :na] = a.reflect_diffuse
+        return angles, nang, trans, rspec, rdiff
+
+    d_ang, d_n, d_refl, d_trans = pad_dichroic()
+    a_ang, a_n, a_trans, a_rspec, a_rdiff = pad_angular()
+
+    return SurfaceTables(
+        props=jnp.asarray(props),
+        model=jnp.asarray(model),
+        transmissive=jnp.asarray(transmissive),
+        thickness=jnp.asarray(thickness),
+        dichroic_index=jnp.asarray(dichroic_index),
+        dichroic_angles=jnp.asarray(d_ang),
+        dichroic_nangles=jnp.asarray(d_n),
+        dichroic_reflect=jnp.asarray(d_refl),
+        dichroic_transmit=jnp.asarray(d_trans),
+        angular_index=jnp.asarray(angular_index),
+        angular_angles=jnp.asarray(a_ang),
+        angular_nangles=jnp.asarray(a_n),
+        angular_transmit=jnp.asarray(a_trans),
+        angular_reflect_specular=jnp.asarray(a_rspec),
+        angular_reflect_diffuse=jnp.asarray(a_rdiff),
+    )
+
+
+def pack_material_codes(material1_index, material2_index, surface_index):
+    """The reference's packed per-triangle code word
+    (reference: chroma/gpu/geometry.py:401-404)."""
+    return (((material1_index.astype(np.uint32) & 0xff) << 24)
+            | ((material2_index.astype(np.uint32) & 0xff) << 16)
+            | ((surface_index.astype(np.uint32) & 0xff) << 8))
+
+
+def _orthonormal_frame(u, v):
+    "Gram-Schmidt (u, v) -> orthonormal (u, v, w=u x v)."
+    u = np.asarray(u, dtype=np.float64)
+    v = np.asarray(v, dtype=np.float64)
+    u = u / np.linalg.norm(u)
+    v = v - np.dot(v, u) * u
+    v = v / np.linalg.norm(v)
+    w = np.cross(u, v)
+    return u, v, w
+
+
+def build_wireplane_arrays(wireplanes, material_lookup, surface_lookup):
+    if not wireplanes:
+        return None
+    P = len(wireplanes)
+    fields = {name: np.zeros(P, dtype=np.float32)
+              for name in ('pitch', 'radius', 'umin', 'umax', 'vmin', 'vmax',
+                           'v0')}
+    origin = np.zeros((P, 3), dtype=np.float32)
+    u = np.zeros((P, 3), dtype=np.float32)
+    v = np.zeros((P, 3), dtype=np.float32)
+    w = np.zeros((P, 3), dtype=np.float32)
+    surface_index = np.full(P, -1, dtype=np.int32)
+    mat_inner = np.zeros(P, dtype=np.int32)
+    mat_outer = np.zeros(P, dtype=np.int32)
+
+    for i, wp in enumerate(wireplanes):
+        uu, vv, ww = _orthonormal_frame(wp.u, wp.v)
+        origin[i] = wp.origin
+        u[i], v[i], w[i] = uu, vv, ww
+        for name in fields:
+            fields[name][i] = getattr(wp, name)
+        if wp.surface is not None:
+            surface_index[i] = surface_lookup[id(wp.surface)]
+        mat_inner[i] = material_lookup[id(wp.material_inner)]
+        mat_outer[i] = material_lookup[id(wp.material_outer)]
+
+    return WirePlaneArrays(
+        origin=jnp.asarray(origin), u=jnp.asarray(u), v=jnp.asarray(v),
+        w=jnp.asarray(w),
+        pitch=jnp.asarray(fields['pitch']),
+        radius=jnp.asarray(fields['radius']),
+        umin=jnp.asarray(fields['umin']), umax=jnp.asarray(fields['umax']),
+        vmin=jnp.asarray(fields['vmin']), vmax=jnp.asarray(fields['vmax']),
+        v0=jnp.asarray(fields['v0']),
+        surface_index=jnp.asarray(surface_index),
+        material_inner_index=jnp.asarray(mat_inner),
+        material_outer_index=jnp.asarray(mat_outer),
+    )
+
+
+def build_detector_arrays(detector):
+    """Marshal channel map + CDFs. charge_unit quantizes summed charge to
+    16 bits like the reference DAQ (reference: chroma/gpu/detector.py:30-39).
+    """
+    if not hasattr(detector, 'num_channels') or detector.num_channels() == 0:
+        return None
+    time_cdf_x, time_cdf_y = detector.time_cdf
+    charge_cdf_x, charge_cdf_y = detector.charge_cdf
+    charge_unit = float(np.max(charge_cdf_x)) / (2 ** 16)
+    return DetectorArrays(
+        solid_id_to_channel_index=jnp.asarray(
+            np.asarray(detector.solid_id_to_channel_index, dtype=np.int32)),
+        time_cdf_x=jnp.asarray(np.asarray(time_cdf_x, dtype=np.float32)),
+        time_cdf_y=jnp.asarray(np.asarray(time_cdf_y, dtype=np.float32)),
+        charge_cdf_x=jnp.asarray(np.asarray(charge_cdf_x, dtype=np.float32)),
+        charge_cdf_y=jnp.asarray(np.asarray(charge_cdf_y, dtype=np.float32)),
+        charge_unit=jnp.asarray(charge_unit, dtype=jnp.float32),
+        nchannels=int(detector.num_channels()),
+    )
+
+
+def build_geometry_arrays(geometry, wavelengths=None, times=None):
+    """Marshal a flattened host Geometry/Detector (with .bvh set) into
+    device arrays. This is the analog of GPUGeometry.__init__
+    (reference: chroma/gpu/geometry.py:14-526)."""
+    if not hasattr(geometry, 'mesh'):
+        geometry.flatten()
+    if geometry.bvh is None:
+        raise ValueError('geometry has no BVH; use '
+                         'chroma_tpu.loader.create_geometry_from_obj')
+
+    materials = list(geometry.unique_materials)
+    surfaces = list(geometry.unique_surfaces)
+    material_lookup = {id(m): i for i, m in enumerate(materials)}
+    surface_lookup = {id(s): i for i, s in enumerate(surfaces)}
+
+    material_codes = pack_material_codes(geometry.material1_index,
+                                         geometry.material2_index,
+                                         geometry.surface_index)
+
+    dfs_nodes, escape = flatten_to_dfs(geometry.bvh)
+
+    wireplanes = build_wireplane_arrays(
+        getattr(geometry, 'wireplanes', None), material_lookup,
+        surface_lookup)
+
+    detector = build_detector_arrays(geometry)
+
+    wc = geometry.bvh.world_coords
+    return GeometryArrays(
+        vertices=jnp.asarray(geometry.mesh.vertices, dtype=jnp.float32),
+        triangles=jnp.asarray(geometry.mesh.triangles, dtype=jnp.int32),
+        material_codes=jnp.asarray(material_codes),
+        colors=jnp.asarray(geometry.colors.astype(np.uint32)),
+        solid_id=jnp.asarray(geometry.solid_id.astype(np.int32)),
+        nodes=jnp.asarray(dfs_nodes),
+        escape=jnp.asarray(escape),
+        world_origin=jnp.asarray(wc.world_origin, dtype=jnp.float32),
+        world_scale=jnp.asarray(wc.world_scale, dtype=jnp.float32),
+        materials=build_material_tables(materials, wavelengths, times),
+        surfaces=build_surface_tables(surfaces, wavelengths),
+        wireplanes=wireplanes,
+        detector=detector,
+        n_nodes=len(dfs_nodes),
+    )

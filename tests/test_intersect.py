@@ -110,8 +110,10 @@ def test_distance_to_mesh_film():
     mesh = make.cube(2.0)
     geo = create_geometry_from_obj(mesh, update_bvh_cache=False)
     ga = build_geometry_arrays(geo)
-    # the default film axes view along +y
-    origin, direction = from_film(position=(0, -10, 0), size=(16, 12))
+    # the default film axes view along +y; narrow the film so the cube
+    # fills a good fraction of the frame
+    origin, direction = from_film(position=(0, -10, 0), size=(16, 12),
+                                  width=4.0)
     d = np.asarray(distance_to_mesh(jnp.asarray(origin, dtype=jnp.float32),
                                     jnp.asarray(direction,
                                                 dtype=jnp.float32), ga))

@@ -1,0 +1,125 @@
+"""PMT DAQ: hit time/charge sampling + per-channel reductions.
+
+Device analog of chroma/cuda/daq.cu and chroma/gpu/daq.py. The reference
+resolves write races with atomicMin on sortable-int times, atomicAdd on
+quantized charges and atomicOr on histories (daq.cu:73-75); here the same
+semantics are race-free by construction:
+
+  earliest time -> segment_min over channel ids
+  total charge  -> segment_sum of 16-bit-quantized charge
+  history OR    -> per-bit segment_max
+
+Charge is quantized to detector.charge_unit before summing, exactly like
+the int accumulation in the reference, so results match to the same
+granularity.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from chroma_tpu.event import SURFACE_DETECT
+from chroma_tpu.ops.sample import site_key, uniform, sample_cdf_pairs
+
+MAX_TIME = 1e9  # "no hit" earliest-time sentinel (reference: gpu/daq.py:22)
+HIT_TIME_CUT = 1e8  # a channel is hit if earliest time < this
+
+
+@struct.dataclass
+class ChannelArrays:
+    """Per-channel readout: (C,) or (ndaq*C,) arrays."""
+    earliest_time: jnp.ndarray  # f32, MAX_TIME when not hit
+    charge: jnp.ndarray         # f32, quantized to charge_unit
+    histories: jnp.ndarray      # u32 OR of contributing photon flags
+
+
+def _segment_or(values, segment_ids, num_segments):
+    "Bitwise OR of uint32 values per segment via per-bit segment_max."
+    bits = (values[:, None] >> jnp.arange(32, dtype=jnp.uint32)[None, :]) \
+        & jnp.uint32(1)
+    per_bit = jax.ops.segment_max(bits.astype(jnp.int32), segment_ids,
+                                  num_segments=num_segments)
+    per_bit = jnp.maximum(per_bit, 0).astype(jnp.uint32)
+    return jnp.sum(per_bit << jnp.arange(32, dtype=jnp.uint32)[None, :],
+                   axis=1, dtype=jnp.uint32)
+
+
+def run_daq(photons, geometry, key, ndaq=1, global_weight=1.0,
+            detection_state=SURFACE_DETECT):
+    """Acquire one DAQ readout (or `ndaq` independent replicas) from a
+    propagated photon batch (reference: daq.cu run_daq / run_daq_many).
+
+    Returns ChannelArrays with leading dimension ndaq*C (replica-major,
+    matching the reference's channel_stride layout).
+    """
+    det = geometry.detector
+    n = len(photons)
+    c = det.nchannels
+
+    tri = photons.last_hit_triangle
+    terminated_on_surface = tri > -1
+    solid = geometry.solid_id[jnp.maximum(tri, 0)]
+    channel = det.solid_id_to_channel_index[solid]
+    detected = (terminated_on_surface & (channel >= 0)
+                & ((photons.flags & jnp.uint32(detection_state)) != 0))
+
+    # replica axis: (ndaq, N) draws, channels offset by replica*C
+    u_keep = uniform(site_key(key, 0), (ndaq, n))
+    u_time = uniform(site_key(key, 1), (ndaq, n))
+    u_charge = uniform(site_key(key, 2), (ndaq, n))
+
+    keep = detected[None, :] & (u_keep < photons.weight[None, :]
+                                * global_weight)
+
+    time = photons.t[None, :] + sample_cdf_pairs(u_time, det.time_cdf_x,
+                                                 det.time_cdf_y)
+    charge = sample_cdf_pairs(u_charge, det.charge_cdf_x, det.charge_cdf_y)
+    charge_int = jnp.round(charge / det.charge_unit)
+
+    seg = (jnp.maximum(channel, 0)[None, :]
+           + jnp.arange(ndaq, dtype=jnp.int32)[:, None] * c)
+    # photons that don't contribute go to an overflow segment
+    seg = jnp.where(keep, seg, ndaq * c).reshape(-1)
+    nseg = ndaq * c + 1
+
+    time_flat = jnp.where(keep, time, MAX_TIME).reshape(-1)
+    earliest = jax.ops.segment_min(time_flat, seg, num_segments=nseg)[:-1]
+    earliest = jnp.minimum(earliest, MAX_TIME)
+
+    charge_flat = jnp.where(keep, charge_int, 0.0).reshape(-1)
+    q = jax.ops.segment_sum(charge_flat, seg, num_segments=nseg)[:-1]
+    q = q * det.charge_unit
+
+    flags_flat = jnp.where(keep.reshape(-1),
+                           jnp.tile(photons.flags, ndaq), jnp.uint32(0))
+    histories = _segment_or(flags_flat, seg, nseg)[:-1]
+
+    return ChannelArrays(earliest_time=earliest, charge=q,
+                         histories=histories)
+
+
+def channels_to_host(channel_arrays, evidx=None):
+    "Convert device ChannelArrays to an event.Channels."
+    import numpy as np
+    from chroma_tpu import event
+
+    t = np.asarray(channel_arrays.earliest_time)
+    q = np.asarray(channel_arrays.charge)
+    flags = np.asarray(channel_arrays.histories)
+    return event.Channels(hit=t < HIT_TIME_CUT, t=t, q=q, flags=flags,
+                          evidx=evidx)
+
+
+def photon_channels(photons_host, solid_id, solid_id_to_channel_index):
+    """Channel index for each detected photon, -1 otherwise — host-side
+    helper for flat-hit extraction (reference: propagate.cu:172-251)."""
+    import numpy as np
+
+    tri = photons_host.last_hit_triangles
+    valid = tri > -1
+    solid = solid_id[np.maximum(tri, 0)]
+    channel = solid_id_to_channel_index[solid]
+    detected = (valid & (channel >= 0)
+                & ((photons_host.flags & np.uint32(SURFACE_DETECT)) != 0))
+    return np.where(detected, channel, -1).astype(np.int32)

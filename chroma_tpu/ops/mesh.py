@@ -32,12 +32,14 @@ def decode_bounds(node_xyz, world_origin, world_scale):
             world_origin + hi * world_scale)
 
 
-def intersect_mesh(origin, direction, geometry, last_hit_triangle=None):
+def intersect_mesh(origin, direction, geometry, last_hit_triangle=None,
+                   mask=None):
     """Nearest triangle intersection for a batch of rays.
 
     origin/direction: (N,3) f32 (direction normalized).
     last_hit_triangle: (N,) i32 or None; that triangle is excluded
     (a photon can't hit the triangle it is sitting on).
+    mask: (N,) bool or None; lanes outside the mask skip traversal.
 
     Returns (triangle (N,) i32 — -1 for no hit, distance (N,) f32 — +inf
     for no hit).
@@ -89,7 +91,10 @@ def intersect_mesh(origin, direction, geometry, last_hit_triangle=None):
         cur = jnp.where(active, nxt, m)
         return cur, best_tri, best_d
 
-    init = (jnp.zeros(n, dtype=jnp.int32),
+    start = jnp.zeros(n, dtype=jnp.int32)
+    if mask is not None:
+        start = jnp.where(mask, start, m)
+    init = (start,
             jnp.full(n, -1, dtype=jnp.int32),
             jnp.full(n, jnp.inf, dtype=jnp.float32))
     _, best_tri, best_d = jax.lax.while_loop(cond, body, init)

@@ -1,0 +1,191 @@
+"""Propagation driver: jitted multi-step loop + host-side batch compaction.
+
+The reference retires finished photons through device work queues with
+warp-aggregated atomics (reference: chroma/cuda/propagate.cu:280-365,
+chroma/gpu/photon.py:226-293). On TPU the equivalent economics are:
+
+  * inside jit: a lax.while_loop over steps that exits early once every
+    lane is terminated — no queues, dead lanes are masked;
+  * between jit launches: when the live fraction drops, the host gathers
+    the survivors into a smaller power-of-two buffer and continues with a
+    (cached) smaller program — this replaces the reference's queue-swap
+    shrinkage, because masked-out lanes still cost FLOPs on a vector
+    machine;
+  * the reference's "few photons left -> just finish all remaining steps"
+    heuristic (gpu/photon.py:259-264) carries over directly.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from chroma_tpu import event
+from chroma_tpu.ops.photon import PhotonState, propagate_step
+
+# steps per jit launch between compaction checks
+DEFAULT_STEP_CHUNK = 16
+MIN_BATCH = 256
+
+
+def photon_state_from_host(photons):
+    "Upload an event.Photons batch to a device PhotonState."
+    dirs = np.asarray(photons.dir, dtype=np.float32)
+    pols = np.asarray(photons.pol, dtype=np.float32)
+
+    def _norm(v):
+        n = np.linalg.norm(v, axis=-1, keepdims=True)
+        return v / np.where(n > 0, n, 1.0)
+
+    return PhotonState(
+        pos=jnp.asarray(photons.pos, dtype=jnp.float32),
+        dir=jnp.asarray(_norm(dirs)),
+        pol=jnp.asarray(_norm(pols)),
+        wavelength=jnp.asarray(photons.wavelengths, dtype=jnp.float32),
+        t=jnp.asarray(photons.t, dtype=jnp.float32),
+        weight=jnp.asarray(photons.weights, dtype=jnp.float32),
+        flags=jnp.asarray(photons.flags, dtype=jnp.uint32),
+        last_hit_triangle=jnp.asarray(photons.last_hit_triangles,
+                                      dtype=jnp.int32),
+        evidx=jnp.asarray(photons.evidx, dtype=jnp.uint32),
+    )
+
+
+def photon_state_to_host(state, channel=None):
+    "Download a PhotonState to an event.Photons batch."
+    return event.Photons(
+        pos=np.asarray(state.pos),
+        dir=np.asarray(state.dir),
+        pol=np.asarray(state.pol),
+        wavelengths=np.asarray(state.wavelength),
+        t=np.asarray(state.t),
+        last_hit_triangles=np.asarray(state.last_hit_triangle),
+        flags=np.asarray(state.flags),
+        weights=np.asarray(state.weight),
+        evidx=np.asarray(state.evidx),
+        channel=channel,
+    )
+
+
+@partial(jax.jit, static_argnames=('nsteps', 'use_weights'))
+def run_steps(photons, geometry, key, start_step, nsteps, use_weights=False,
+              scatter_first=0):
+    """Run up to `nsteps` propagation steps, exiting early when every
+    photon has terminated. Keys are derived from (key, absolute step), so
+    resuming with a different chunking gives identical photon histories.
+    scatter_first only applies at absolute step 0 (reference:
+    propagate.cu:319)."""
+    scatter_first = jnp.asarray(scatter_first, dtype=jnp.int32)
+
+    def cond(carry):
+        i, ph = carry
+        return (i < nsteps) & jnp.any(ph.alive)
+
+    def body(carry):
+        i, ph = carry
+        abs_step = start_step + i
+        step_key = jax.random.fold_in(key, abs_step)
+        sf = jnp.where(abs_step == 0, scatter_first, 0)
+        ph = propagate_step(ph, geometry, step_key, use_weights=use_weights,
+                            scatter_first=sf)
+        return i + 1, ph
+
+    steps_done, photons = jax.lax.while_loop(cond, body, (0, photons))
+    return photons, steps_done
+
+
+def _next_pow2(x):
+    return max(MIN_BATCH, 1 << int(np.ceil(np.log2(max(x, 1)))))
+
+
+def propagate(photons, geometry, key, max_steps=100, use_weights=False,
+              scatter_first=0, compact=True, step_chunk=DEFAULT_STEP_CHUNK,
+              track_steps=False):
+    """Propagate a PhotonState to termination or `max_steps`.
+
+    Returns the final PhotonState (same length/order as the input).
+    With track_steps=True also returns a list of (orig_indices, PhotonState)
+    snapshots after every chunk, for photon-track displays
+    (reference: gpu/photon.py photon_tracking).
+    """
+    n = len(photons)
+    orig_idx = np.arange(n)
+    # results assembled into writable host buffers as lanes retire
+    final = jax.tree_util.tree_map(lambda a: np.array(a), photons)
+    tracking = []
+
+    step = 0
+    current = photons
+    while True:
+        nsteps = min(step_chunk, max_steps - step)
+        current, _ = run_steps(current, geometry, key, step, nsteps,
+                               use_weights=use_weights,
+                               scatter_first=scatter_first)
+        step += nsteps
+
+        alive = np.asarray(current.alive)
+        n_alive = int(alive.sum())
+
+        if track_steps:
+            tracking.append((orig_idx.copy(),
+                             jax.tree_util.tree_map(np.asarray, current)))
+
+        if n_alive == 0 or step >= max_steps:
+            _scatter_back(final, current, orig_idx)
+            break
+
+        # few survivors: finish their remaining steps in one launch
+        # (reference heuristic: gpu/photon.py:259-264)
+        few = n_alive <= max(len(current) // 16, MIN_BATCH // 4)
+
+        if compact and (n_alive <= len(current) // 2 or few):
+            _scatter_back(final, current, orig_idx)
+            keep = np.flatnonzero(alive)
+            bucket = _next_pow2(len(keep))
+            pad = bucket - len(keep)
+            host = jax.tree_util.tree_map(np.asarray, current)
+            sel = np.concatenate([keep, np.zeros(pad, dtype=np.int64)])
+            flags = np.array(host.flags[sel])
+            if pad:
+                # padding lanes are clones marked terminated
+                flags[len(keep):] |= np.uint32(event.NAN_ABORT
+                                               | event.NO_HIT)
+            current = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a[sel]), host)
+            current = current.replace(flags=jnp.asarray(flags))
+            orig_idx = np.concatenate(
+                [orig_idx[keep], np.full(pad, -1, dtype=orig_idx.dtype)])
+
+        if few and step < max_steps:
+            current, _ = run_steps(current, geometry, key, step,
+                                   max_steps - step,
+                                   use_weights=use_weights,
+                                   scatter_first=scatter_first)
+            step = max_steps
+            if track_steps:
+                tracking.append((orig_idx.copy(),
+                                 jax.tree_util.tree_map(np.asarray,
+                                                        current)))
+            _scatter_back(final, current, orig_idx)
+            break
+
+    result = jax.tree_util.tree_map(jnp.asarray, final)
+    if np.asarray(result.flags & np.uint32(event.NAN_ABORT)).any():
+        from chroma_tpu.log import logger
+        logger.warning('ABORTED PHOTONS')  # reference: gpu/photon.py:288
+    if track_steps:
+        return result, tracking
+    return result
+
+
+def _scatter_back(final, current, orig_idx):
+    "Write the current (possibly compacted) lanes into the full result."
+    host = jax.tree_util.tree_map(np.asarray, current)
+    valid = orig_idx >= 0
+    idx = orig_idx[valid]
+
+    for name in ('pos', 'dir', 'pol', 'wavelength', 't', 'weight', 'flags',
+                 'last_hit_triangle', 'evidx'):
+        getattr(final, name)[idx] = getattr(host, name)[valid]

@@ -1,0 +1,79 @@
+"""Device random sampling (analog of chroma/cuda/random.h).
+
+The reference keeps one XORWOW state per CUDA thread; here randomness comes
+from JAX's counter-based PRNG: the propagation loop folds the step number
+into a base key and each draw site folds in a distinct site id, so every
+(photon, step, site) triple sees an independent stream with no carried
+state. Distribution-level equivalence with the reference is what the
+physics tests check (SURVEY §4.3); bitwise RNG equality is neither possible
+nor required.
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def site_key(key, site):
+    "Derive the key for a named draw site within a step."
+    return jax.random.fold_in(key, site)
+
+
+def uniform(key, shape, low=0.0, high=1.0):
+    """U(low, high] like curand_uniform (excludes low, includes high) —
+    in particular never 0.0, so -L*log(u) is always finite."""
+    u = jax.random.uniform(key, shape, dtype=jnp.float32)
+    return high - u * (high - low)
+
+
+def uniform_sphere(key, shape):
+    "Isotropic unit vectors, shape (*shape, 3) (reference: random.h:17-25)."
+    k1, k2 = jax.random.split(key)
+    theta = uniform(k1, shape, 0.0, 2.0 * math.pi)
+    u = uniform(k2, shape, -1.0, 1.0)
+    c = jnp.sqrt(jnp.maximum(1.0 - u * u, 0.0))
+    return jnp.stack([c * jnp.cos(theta), c * jnp.sin(theta), u], axis=-1)
+
+
+def exponential(key, shape, scale):
+    "Exponentially distributed distances with per-lane scale."
+    return -scale * jnp.log(uniform(key, shape))
+
+
+def sample_cdf_pairs(u, cdf_x, cdf_y):
+    """Inverse-CDF draw from a shared (cdf_x, cdf_y) table: linear
+    interpolation of u against cdf_y (reference: random.h:29-34)."""
+    return jnp.interp(u, cdf_y, cdf_x)
+
+
+def sample_cdf_uniform_rows(u, table, row_idx, x0, dx):
+    """Inverse-CDF draw on a uniform x grid with a per-lane CDF row.
+
+    table: (R, n) cumulative values; row_idx: (N,) row per lane; u: (N,).
+    Bisection exactly as the reference (random.h:38-55), run for a fixed
+    ceil(log2(n)) iterations with converged lanes masked.
+    """
+    n = table.shape[1]
+    iters = max(1, math.ceil(math.log2(n)))
+
+    def body(_, lu):
+        lower, upper = lu
+        active = lower < upper - 1
+        half = (lower + upper) // 2
+        val = table[row_idx, half]
+        go_left = u < val
+        upper = jnp.where(active & go_left, half, upper)
+        lower = jnp.where(active & ~go_left, half, lower)
+        return lower, upper
+
+    lower = jnp.zeros_like(row_idx, dtype=jnp.int32)
+    upper = jnp.full_like(lower, n - 1)
+    lower, upper = jax.lax.fori_loop(0, iters, body, (lower, upper))
+
+    y_lo = table[row_idx, lower]
+    y_hi = table[row_idx, upper]
+    dy = y_hi - y_lo
+    frac = jnp.where(dy > 0, (u - y_lo) / jnp.where(dy > 0, dy, 1.0), 0.0)
+    return x0 + dx * lower.astype(jnp.float32) + dx * frac

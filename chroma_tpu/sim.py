@@ -1,0 +1,250 @@
+"""Simulation: the top-level orchestration facade
+(reference: chroma/sim.py).
+
+Owns the device geometry, batches incoming events to amortize host<->device
+transfer (photons_per_batch, reference: sim.py:227), runs the propagation
+engine, extracts per-channel hits and per-event DAQ readouts, and yields
+finished Events. Also exposes the PDF-evaluation API used by
+chroma_tpu.likelihood (restoring the interface that drifted out of the
+reference fork; SURVEY §4 "drift").
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import jax
+
+from chroma_tpu import event
+from chroma_tpu import itertoolset
+from chroma_tpu.log import logger
+from chroma_tpu.loader import create_geometry_from_obj
+from chroma_tpu.ops.types import build_geometry_arrays
+from chroma_tpu.ops.propagate import (propagate, photon_state_from_host,
+                                      photon_state_to_host)
+from chroma_tpu.ops import daq as daq_ops
+
+
+def pick_seed():
+    """Seed from a mix of current time and process ID
+    (reference: sim.py:17-20)."""
+    return int(time.time()) ^ (os.getpid() << 16) & 2 ** 32 - 1
+
+
+class Simulation(object):
+    def __init__(self, detector, seed=None, photon_tracking=False,
+                 wavelengths=None, times=None, **compat_kwargs):
+        """Create a simulation around a flattened Geometry/Detector.
+
+        `compat_kwargs` absorbs reference-only options (cuda_device,
+        nthreads_per_block, max_blocks) so call sites port unchanged.
+        """
+        if getattr(detector, 'bvh', None) is None or \
+                not hasattr(detector, 'mesh'):
+            detector = create_geometry_from_obj(detector)
+        self.detector = detector
+        self.photon_tracking = photon_tracking
+
+        if seed is None:
+            seed = pick_seed()
+        self.seed = seed
+        np.random.seed(self.seed)
+        self._key = jax.random.key(self.seed)
+
+        self.gpu_geometry = build_geometry_arrays(detector, wavelengths,
+                                                  times)
+
+        self.pdf_config = None
+        self._pdf = None
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    @property
+    def has_channels(self):
+        return self.gpu_geometry.detector is not None
+
+    # ------------------------------------------------------------------
+    # event simulation
+    # ------------------------------------------------------------------
+
+    def simulate(self, iterable, keep_photons_beg=False,
+                 keep_photons_end=False, keep_hits=True, keep_flat_hits=True,
+                 run_daq=False, max_steps=1000, photons_per_batch=1000000):
+        """Simulate an iterable of Photons or Events, yielding finished
+        Events. Events are grouped into >= photons_per_batch batches to
+        amortize transfer and launch overhead (reference: sim.py:225-278).
+        """
+        if isinstance(iterable, event.Photons):
+            first_element, iterable = iterable, [iterable]
+        else:
+            first_element, iterable = itertoolset.peek(iterable)
+
+        if isinstance(first_element, event.Event):
+            pass
+        elif isinstance(first_element, event.Photons):
+            iterable = (event.Event(photons_beg=x) for x in iterable)
+        elif isinstance(first_element, event.Vertex):
+            raise NotImplementedError(
+                'Vertex input requires a particle generator; feed Photons '
+                'or Events instead')
+
+        nphotons = 0
+        batch_events = []
+        for ev in iterable:
+            ev.nphotons = len(ev.photons_beg)
+            ev.photons_beg.evidx[:] = np.uint32(len(batch_events))
+            nphotons += ev.nphotons
+            batch_events.append(ev)
+
+            if nphotons >= photons_per_batch:
+                yield from self._simulate_batch(
+                    batch_events, keep_photons_beg=keep_photons_beg,
+                    keep_photons_end=keep_photons_end, keep_hits=keep_hits,
+                    keep_flat_hits=keep_flat_hits, run_daq=run_daq,
+                    max_steps=max_steps)
+                nphotons = 0
+                batch_events = []
+
+        if batch_events:
+            yield from self._simulate_batch(
+                batch_events, keep_photons_beg=keep_photons_beg,
+                keep_photons_end=keep_photons_end, keep_hits=keep_hits,
+                keep_flat_hits=keep_flat_hits, run_daq=run_daq,
+                max_steps=max_steps)
+
+    def _simulate_batch(self, batch_events, keep_photons_beg=False,
+                        keep_photons_end=False, keep_hits=True,
+                        keep_flat_hits=True, run_daq=False, max_steps=100,
+                        verbose=False):
+        "Propagate one batch of events and attach results."
+        t_start = time.perf_counter()
+
+        photon_sources = [ev.photons_beg for ev in batch_events]
+        batch_bounds = np.cumsum([0] + [len(src) for src in photon_sources])
+        batch = event.Photons.join(photon_sources) \
+            if len(photon_sources) > 1 else photon_sources[0]
+
+        state = photon_state_from_host(batch)
+        key = self._next_key()
+
+        result = propagate(state, self.gpu_geometry, key,
+                           max_steps=max_steps,
+                           step_chunk=1 if self.photon_tracking else 16,
+                           track_steps=self.photon_tracking)
+        if self.photon_tracking:
+            result, tracking = result
+
+        if verbose:
+            logger.info('batch of %d photons took %.2f s'
+                        % (len(batch), time.perf_counter() - t_start))
+
+        photons_end = photon_state_to_host(result)
+
+        if self.has_channels and (keep_hits or keep_flat_hits):
+            channel = daq_ops.photon_channels(
+                photons_end, self.detector.solid_id,
+                np.asarray(self.detector.solid_id_to_channel_index))
+            photons_end.channel = np.maximum(channel, 0).astype(np.uint32)
+            detected = channel >= 0
+            batch_hits = photons_end[detected]
+
+        for i, ev in enumerate(batch_events):
+            start, end = batch_bounds[i], batch_bounds[i + 1]
+
+            if not keep_photons_beg:
+                ev.photons_beg = None
+
+            if self.photon_tracking:
+                ev.photon_tracks = self._regroup_tracks(tracking, start, end)
+
+            if keep_photons_end:
+                ev.photons_end = photons_end[start:end]
+
+            if self.has_channels and (keep_hits or keep_flat_hits):
+                ev_hits = batch_hits[batch_hits.evidx == i]
+                if keep_hits:
+                    ev.hits = {int(ch): ev_hits[ev_hits.channel == ch]
+                               for ch in np.unique(ev_hits.channel)}
+                if keep_flat_hits:
+                    ev.flat_hits = ev_hits
+
+            if self.has_channels and run_daq:
+                ev_state = jax.tree_util.tree_map(
+                    lambda a: a[start:end], result)
+                arrays = daq_ops.run_daq(ev_state, self.gpu_geometry,
+                                         jax.random.fold_in(key, 7000 + i))
+                ev.channels = daq_ops.channels_to_host(arrays)
+
+            yield ev
+
+    @staticmethod
+    def _regroup_tracks(tracking, start, end):
+        "Per-photon track lists from chunk snapshots (tracking mode)."
+        nphotons = end - start
+        tracks = [[] for _ in range(nphotons)]
+        for orig_idx, snapshot in tracking:
+            mask = (orig_idx >= start) & (orig_idx < end)
+            if not mask.any():
+                continue
+            ids = orig_idx[mask] - start
+            snap = photon_state_to_host(
+                jax.tree_util.tree_map(lambda a: a[mask], snapshot))
+            for j, pid in enumerate(ids):
+                tracks[pid].append(snap[j:j + 1])
+        return [event.Photons.join(t) if t else event.Photons()
+                for t in tracks]
+
+    # ------------------------------------------------------------------
+    # PDF evaluation API (used by chroma_tpu.likelihood)
+    # ------------------------------------------------------------------
+
+    def create_pdf(self, iterable, tbins, trange, qbins, qrange,
+                   nreps=1, ndaq=1):
+        """Histogram the DAQ response of many events into a binned
+        (channel, t, q) PDF. Returns (hitcount, pdf) numpy arrays."""
+        from chroma_tpu.ops import pdf as pdf_ops
+        accum = pdf_ops.PDFAccumulator(self.gpu_geometry, tbins, trange,
+                                       qbins, qrange)
+        for ev in iterable:
+            for _ in range(nreps):
+                state = photon_state_from_host(ev.photons_beg)
+                key = self._next_key()
+                result = propagate(state, self.gpu_geometry, key,
+                                   max_steps=100)
+                arrays = daq_ops.run_daq(result, self.gpu_geometry,
+                                         jax.random.fold_in(key, 1),
+                                         ndaq=ndaq)
+                accum.add(arrays, ndaq=ndaq)
+        return accum.get()
+
+    def setup_pdf_eval(self, event_hits, min_twidth, trange, min_qwidth,
+                       qrange, min_bin_content=100, time_only=True):
+        """Prepare likelihood PDF evaluation against an observed event
+        (reference API: gpu/pdf.py:229-283)."""
+        from chroma_tpu.ops import pdf as pdf_ops
+        self._pdf = pdf_ops.PDFEval(self.gpu_geometry, event_hits,
+                                    min_twidth, trange, min_qwidth, qrange,
+                                    min_bin_content, time_only)
+
+    def eval_pdf(self, event_channels, iterable, min_twidth, trange,
+                 min_qwidth, qrange, min_bin_content=100, nreps=1, ndaq=1,
+                 time_only=True):
+        """Probability of each channel's observed hit given simulated
+        events (restores the Simulation API expected by likelihood.py)."""
+        self.setup_pdf_eval(event_channels, min_twidth, trange, min_qwidth,
+                            qrange, min_bin_content=min_bin_content,
+                            time_only=time_only)
+        for ev in iterable:
+            for _ in range(nreps):
+                state = photon_state_from_host(ev.photons_beg)
+                key = self._next_key()
+                result = propagate(state, self.gpu_geometry, key,
+                                   max_steps=100)
+                arrays = daq_ops.run_daq(result, self.gpu_geometry,
+                                         jax.random.fold_in(key, 1),
+                                         ndaq=ndaq)
+                self._pdf.accumulate(arrays, ndaq=ndaq)
+        return self._pdf.get()

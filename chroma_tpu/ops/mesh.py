@@ -91,12 +91,14 @@ def intersect_mesh(origin, direction, geometry, last_hit_triangle=None,
         cur = jnp.where(active, nxt, m)
         return cur, best_tri, best_d
 
-    start = jnp.zeros(n, dtype=jnp.int32)
+    # derive init values from the inputs so they inherit any shard_map
+    # "varying" axes (a literal jnp.zeros would be replicated and fail
+    # the while_loop carry type check under shard_map)
+    izero = (origin[:, 0] * 0).astype(jnp.int32)
+    start = izero
     if mask is not None:
         start = jnp.where(mask, start, m)
-    init = (start,
-            jnp.full(n, -1, dtype=jnp.int32),
-            jnp.full(n, jnp.inf, dtype=jnp.float32))
+    init = (start, izero - 1, origin[:, 0] * 0 + jnp.inf)
     _, best_tri, best_d = jax.lax.while_loop(cond, body, init)
     return best_tri, best_d
 

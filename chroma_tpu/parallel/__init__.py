@@ -1,0 +1,4 @@
+"""chroma_tpu.parallel: multi-chip photon sharding over a device mesh."""
+from chroma_tpu.parallel.sharding import (photon_mesh,  # noqa: F401
+                                          propagate_sharded,
+                                          propagate_and_daq_sharded)

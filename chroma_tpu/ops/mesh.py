@@ -109,5 +109,9 @@ def distance_to_mesh(origin, direction, geometry):
     reference: chroma/cuda/mesh.h:131-159)."""
     direction = direction / jnp.linalg.norm(direction, axis=-1,
                                             keepdims=True)
-    tri, dist = intersect_mesh(origin, direction, geometry)
+    if getattr(geometry, 'wide', None) is not None:
+        from chroma_tpu.ops.mesh_wide import intersect_mesh_wide
+        tri, dist = intersect_mesh_wide(origin, direction, geometry.wide)
+    else:
+        tri, dist = intersect_mesh(origin, direction, geometry)
     return jnp.where(tri >= 0, dist, jnp.inf)

@@ -1,0 +1,198 @@
+"""Wide-BVH traversal: one fat-row gather + dense child sweep per visit.
+
+The hot loop of the framework. Per iteration and per photon lane:
+
+  * ONE ~800 B gather of a unified table row — either a node row (up to F
+    children's AABBs + first-child pointer) or a leaf row (up to K
+    pre-assembled triangles). Gathers on TPU cost ~20 ns/row nearly
+    independent of width, so fat rows amortize the fetch;
+  * a dense slab sweep of all F children / Moller-Trumbore sweep of all K
+    triangles on the VPU (cheap next to the gather);
+  * register-resident traversal state: current row index plus a
+    (sibling-base, pending-bitmask) stack whose depth is the (shallow)
+    tree height.
+
+Descent is nearest-child-first for early pruning. This replaces both the
+reference's per-thread stack walk (chroma/cuda/mesh.h:45-126) and this
+framework's escape-pointer DFS (chroma_tpu.ops.mesh) on the hot path; the
+DFS version remains as the cross-checking reference implementation.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+EPSILON = 1e-6
+FLT_EPSILON = 1.19209290e-07
+
+
+def _ctz32(m):
+    "Index of the lowest set bit of a uint32 (32 for m == 0)."
+    low = m & (~m + jnp.uint32(1))
+    return jnp.where(
+        m == 0, 32,
+        jax.lax.population_count(low - jnp.uint32(1)).astype(jnp.int32))
+
+
+def intersect_mesh_wide(origin, direction, wide, last_hit_triangle=None,
+                        mask=None, best_limit=None):
+    """Nearest-triangle query against a WideBVH.
+
+    origin/direction: (N,3) f32, direction normalized.
+    last_hit_triangle: (N,) i32 excluded triangle (or None).
+    mask: (N,) bool lanes to trace (or None).
+    best_limit: (N,) f32 optional initial upper bound on the hit distance.
+
+    Returns (triangle (N,) i32, distance (N,) f32) with -1/+inf misses.
+    """
+    n = origin.shape[0]
+    f = wide.fanout
+    k = wide.leaf_size
+    depth_max = wide.max_depth
+    leaf_base = wide.leaf_base
+
+    if last_hit_triangle is None:
+        last_hit_triangle = jnp.full(n, -1, jnp.int32)
+
+    inv_dir = 1.0 / direction                       # (N,3)
+    neg_org = -origin * inv_dir
+    finite = jnp.isfinite(inv_dir)
+
+    izero = (origin[:, 0] * 0).astype(jnp.int32)
+    fzero = origin[:, 0] * 0
+
+    cur0 = izero                 # start at the root row
+    depth0 = izero
+    # derived from izero so the carry inherits shard_map varying axes
+    bases0 = jnp.zeros((n, depth_max), dtype=jnp.int32) + izero[:, None]
+    masks0 = jnp.zeros((n, depth_max), dtype=jnp.uint32) \
+        + izero[:, None].astype(jnp.uint32)
+    best_tri0 = izero - 1
+    best_d0 = fzero + jnp.inf
+    if best_limit is not None:
+        best_d0 = best_limit
+    if mask is not None:
+        cur0 = jnp.where(mask, cur0, -1)
+
+    def child_hitmask(rows, best_d, active):
+        """Dense slab test of all F children in a fetched node row.
+        Returns (hit bitmask (N,) u32, nearest hit child (N,) i32)."""
+        r = rows[:, :6 * f].reshape(n, 6, f)
+        lo = r[:, 0:3]                  # (N,3,F)
+        hi = r[:, 3:6]
+        t0 = lo * inv_dir[:, :, None] + neg_org[:, :, None]
+        t1 = hi * inv_dir[:, :, None] + neg_org[:, :, None]
+        tsmall = jnp.where(finite[:, :, None], jnp.minimum(t0, t1), -jnp.inf)
+        tbig = jnp.where(finite[:, :, None], jnp.maximum(t0, t1), jnp.inf)
+        tmin = jnp.maximum(jnp.max(tsmall, axis=1), 0.0)   # (N,F)
+        tmax = jnp.min(tbig, axis=1)
+        # padding children carry NaN bounds; reject explicitly rather than
+        # relying on NaN propagation through the reductions
+        valid = lo[:, 0] == lo[:, 0]
+        hit = ((tmin <= tmax) & (tmin <= best_d[:, None]) & valid
+               & active[:, None])
+        bits = jnp.where(hit, jnp.uint32(1), jnp.uint32(0)) \
+            << jnp.arange(f, dtype=jnp.uint32)[None, :]
+        hitmask = jnp.sum(bits, axis=1, dtype=jnp.uint32)
+        # descend nearest-first: maximizes early pruning of the rest
+        nearest = jnp.argmin(jnp.where(hit, tmin, jnp.inf),
+                             axis=1).astype(jnp.int32)
+        return hitmask, nearest
+
+    def leaf_update(rows, active, best_tri, best_d):
+        "Dense Moller-Trumbore over all K triangles in a leaf block."
+        r = rows[:, :10 * k].reshape(n, k, 10)
+        v0 = r[:, :, 0:3]
+        e1 = r[:, :, 3:6]
+        e2 = r[:, :, 6:9]
+        tri_idx = jax.lax.bitcast_convert_type(r[:, :, 9], jnp.int32)
+
+        dirn = direction[:, None, :]
+        h = jnp.cross(dirn, e2)
+        a = jnp.sum(e1 * h, axis=-1)
+        parallel = jnp.abs(a) <= FLT_EPSILON
+        finv = 1.0 / jnp.where(parallel, 1.0, a)
+        s = origin[:, None, :] - v0
+        u = finv * jnp.sum(s * h, axis=-1)
+        q = jnp.cross(s, e1)
+        v = finv * jnp.sum(dirn * q, axis=-1)
+        t = finv * jnp.sum(e2 * q, axis=-1)
+
+        ok = (~parallel
+              & (u >= -EPSILON) & (u <= 1.0 + EPSILON)
+              & (v >= -EPSILON) & (u + v <= 1.0 + EPSILON)
+              & (t > EPSILON) & jnp.isfinite(t)
+              & (tri_idx >= 0)
+              & (tri_idx != last_hit_triangle[:, None])
+              & active[:, None])
+        t = jnp.where(ok, t, jnp.inf)
+        j = jnp.argmin(t, axis=1)
+        tbest = t[jnp.arange(n), j]
+        closer = tbest < best_d
+        best_d = jnp.where(closer, tbest, best_d)
+        best_tri = jnp.where(closer, tri_idx[jnp.arange(n), j], best_tri)
+        return best_tri, best_d
+
+    def stack_get(arr, idx):
+        "arr[:, idx] with a per-lane dynamic slot (static unroll)."
+        out = jnp.zeros(n, dtype=arr.dtype)
+        for d in range(depth_max):
+            out = jnp.where(idx == d, arr[:, d], out)
+        return out
+
+    def stack_set(arr, idx, value, pred):
+        cols = []
+        for d in range(depth_max):
+            sel = pred & (idx == d)
+            cols.append(jnp.where(sel, value, arr[:, d]))
+        return jnp.stack(cols, axis=1)
+
+    def body(state):
+        cur, depth, bases, masks, best_tri, best_d = state
+        active = cur >= 0
+        at_leaf = active & (cur >= leaf_base)
+        internal = active & ~at_leaf
+
+        rows = wide.rows[jnp.where(active, cur, 0)]  # the ONE gather
+
+        hitmask, nearest = child_hitmask(rows, best_d, internal)
+        best_tri, best_d = leaf_update(rows, at_leaf, best_tri, best_d)
+
+        first_child = jax.lax.bitcast_convert_type(rows[:, 6 * f],
+                                                   jnp.int32)
+
+        # descend into the nearest hit child, saving the sibling group
+        # (base + remaining mask) on the stack
+        will_descend = internal & (hitmask != 0)
+        rest = hitmask & ~(jnp.uint32(1) << nearest.astype(jnp.uint32))
+        bases = stack_set(bases, depth, first_child, will_descend)
+        masks = stack_set(masks, depth, rest, will_descend)
+        cur = jnp.where(will_descend, first_child + nearest, cur)
+        depth = jnp.where(will_descend, depth + 1, depth)
+
+        # pop: walk the stack down to the next pending sibling
+        need = active & ~will_descend
+        for _ in range(depth_max + 1):
+            slot = depth - 1
+            pm = stack_get(masks, slot)
+            has = pm != jnp.uint32(0)
+            c2 = _ctz32(pm)
+            resume = need & (slot >= 0) & has
+            exhaust = need & (slot >= 0) & ~has
+            done = need & (slot < 0)
+
+            masks = stack_set(masks, slot,
+                              pm & (pm - jnp.uint32(1)), resume)
+            cur = jnp.where(resume, stack_get(bases, slot) + c2,
+                            jnp.where(done, -1, cur))
+            depth = jnp.where(exhaust, slot, depth)
+            need = exhaust
+
+        return cur, depth, bases, masks, best_tri, best_d
+
+    def cond(state):
+        return jnp.any(state[0] >= 0)
+
+    init = (cur0, depth0, bases0, masks0, best_tri0, best_d0)
+    _, _, _, _, best_tri, best_d = jax.lax.while_loop(cond, body, init)
+    return best_tri, best_d

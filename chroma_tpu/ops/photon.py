@@ -159,8 +159,15 @@ def fill_state(photons, geometry, active):
     (reference: photon.h:87-397). Lanes not in `active` are skipped in the
     traversal. Returns (photons', StepState); photons' has NO_HIT flags and
     last_hit_triangle updated."""
-    tri, dist = intersect_mesh(photons.pos, photons.dir, geometry,
-                               photons.last_hit_triangle, mask=active)
+    if geometry.wide is not None:
+        from chroma_tpu.ops.mesh_wide import intersect_mesh_wide
+        tri, dist = intersect_mesh_wide(photons.pos, photons.dir,
+                                        geometry.wide,
+                                        photons.last_hit_triangle,
+                                        mask=active)
+    else:
+        tri, dist = intersect_mesh(photons.pos, photons.dir, geometry,
+                                   photons.last_hit_triangle, mask=active)
     hit = tri >= 0
 
     if geometry.has_wireplanes:

@@ -29,6 +29,7 @@ from flax import struct
 
 from chroma_tpu.geometry import standard_wavelengths, standard_times
 from chroma_tpu.bvh.dfs import flatten_to_dfs
+from chroma_tpu.bvh.wide import build_wide_bvh, WideBVH
 
 # property row indices in MaterialTables.props
 MAT_REFRACTIVE_INDEX = 0
@@ -143,6 +144,10 @@ class GeometryArrays:
     escape: jnp.ndarray          # (M,) i32
     world_origin: jnp.ndarray    # (3,) f32
     world_scale: jnp.ndarray     # () f32
+
+    # wide implicit BVH — the hot-path acceleration structure
+    # (chroma_tpu.bvh.wide); None falls back to the DFS walk
+    wide: WideBVH | None
 
     materials: MaterialTables
     surfaces: SurfaceTables
@@ -393,7 +398,8 @@ def build_detector_arrays(detector):
     )
 
 
-def build_geometry_arrays(geometry, wavelengths=None, times=None):
+def build_geometry_arrays(geometry, wavelengths=None, times=None,
+                          use_wide_bvh=True):
     """Marshal a flattened host Geometry/Detector (with .bvh set) into
     device arrays. This is the analog of GPUGeometry.__init__
     (reference: chroma/gpu/geometry.py:14-526)."""
@@ -413,6 +419,7 @@ def build_geometry_arrays(geometry, wavelengths=None, times=None):
                                          geometry.surface_index)
 
     dfs_nodes, escape = flatten_to_dfs(geometry.bvh)
+    wide = build_wide_bvh(geometry.mesh) if use_wide_bvh else None
 
     wireplanes = build_wireplane_arrays(
         getattr(geometry, 'wireplanes', None), material_lookup,
@@ -431,6 +438,7 @@ def build_geometry_arrays(geometry, wavelengths=None, times=None):
         escape=jnp.asarray(escape),
         world_origin=jnp.asarray(wc.world_origin, dtype=jnp.float32),
         world_scale=jnp.asarray(wc.world_scale, dtype=jnp.float32),
+        wide=wide,
         materials=build_material_tables(materials, wavelengths, times),
         surfaces=build_surface_tables(surfaces, wavelengths),
         wireplanes=wireplanes,

@@ -29,8 +29,8 @@ from flax import struct
 
 from chroma_tpu.bvh.build import morton_codes_3d
 
-FANOUT = 32
-LEAF_SIZE = 16
+FANOUT = 16
+LEAF_SIZE = 8
 MAX_DEPTH = 16
 
 
@@ -80,8 +80,15 @@ def _prefix_groups(codes, max_size, target_mean):
     return first, count, group_codes
 
 
-def build_wide_bvh(mesh, fanout=FANOUT, leaf_size=LEAF_SIZE):
-    """Build a WideBVH from a host Mesh (numpy in, device arrays out)."""
+def build_wide_bvh(mesh, fanout=FANOUT, leaf_size=LEAF_SIZE,
+                   internal_target_mean=None):
+    """Build a WideBVH from a host Mesh (numpy in, device arrays out).
+
+    internal_target_mean controls how aggressively Morton prefixes are
+    coarsened when grouping internal levels (default: the fanout) — larger
+    means shallower trees with fuller nodes."""
+    if internal_target_mean is None:
+        internal_target_mean = max(fanout // 2, 4)
     vertices = mesh.vertices.astype(np.float32)
     triangles = mesh.triangles.astype(np.int64)
     tri = vertices[triangles]  # (T,3,3)
@@ -126,9 +133,8 @@ def build_wide_bvh(mesh, fanout=FANOUT, leaf_size=LEAF_SIZE):
     child_lo, child_hi, child_codes = block_lo, block_hi, group_codes
     depth_guard = 0
     while len(child_lo) > 1:
-        first, count, child_codes = _prefix_groups(child_codes, fanout,
-                                                   target_mean=min(fanout,
-                                                                   8))
+        first, count, child_codes = _prefix_groups(
+            child_codes, fanout, target_mean=internal_target_mean)
         nparent = len(first)
         lo = np.full((nparent, 3), np.inf, np.float32)
         hi = np.full((nparent, 3), -np.inf, np.float32)

@@ -126,11 +126,14 @@ def intersect_mesh_wide(origin, direction, wide, last_hit_triangle=None,
               & (tri_idx != last_hit_triangle[:, None])
               & active[:, None])
         t = jnp.where(ok, t, jnp.inf)
-        j = jnp.argmin(t, axis=1)
-        tbest = t[jnp.arange(n), j]
+        # min + masked select instead of argmin-indexing: per-lane fancy
+        # indexing would lower to another (slow) gather
+        tbest = jnp.min(t, axis=1)
+        at_min = t <= tbest[:, None]
+        tri_min = jnp.max(jnp.where(at_min & ok, tri_idx, -1), axis=1)
         closer = tbest < best_d
         best_d = jnp.where(closer, tbest, best_d)
-        best_tri = jnp.where(closer, tri_idx[jnp.arange(n), j], best_tri)
+        best_tri = jnp.where(closer, tri_min, best_tri)
         return best_tri, best_d
 
     def stack_get(arr, idx):

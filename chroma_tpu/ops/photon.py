@@ -138,6 +138,41 @@ def material_property(materials, mat_idx, prop, wavelength):
                         m.wavelength0, m.wavelength_step)
 
 
+def wavelength_lerp_rows(table_wl, wavelength, x0, dx):
+    """Fetch + lerp one wavelength row per lane from a wavelength-major
+    table (n_wl, ...). One fat-row gather returns EVERY material's or
+    surface's properties at each photon's wavelength."""
+    n_wl = table_wl.shape[0]
+    xf = (wavelength - x0) / dx
+    jl = jnp.clip(xf.astype(jnp.int32), 0, n_wl - 2)
+    frac = jnp.clip(xf - jl.astype(jnp.float32), 0.0, 1.0)
+    flat = table_wl.reshape(n_wl, -1)
+    lo = flat[jl]
+    hi = flat[jl + 1]
+    out = lo + frac[:, None] * (hi - lo)
+    return out.reshape((len(jl),) + table_wl.shape[1:])
+
+
+def select_rows(rows, idx):
+    """rows[lane, idx[lane]] via a static unroll over the (small) second
+    axis — avoids lowering per-lane fancy indexing to a gather."""
+    r = rows.shape[1]
+    out = jnp.zeros(rows.shape[:1] + rows.shape[2:], dtype=rows.dtype)
+    for i in range(r):
+        sel = idx == i
+        sel = sel.reshape(sel.shape + (1,) * (out.ndim - 1))
+        out = jnp.where(sel, rows[:, i], out)
+    return out
+
+
+def select_small(vec, idx):
+    "vec[idx[lane]] for a small constant vector, as a select chain."
+    out = jnp.zeros(idx.shape, dtype=vec.dtype)
+    for i in range(vec.shape[0]):
+        out = jnp.where(idx == i, vec[i], out)
+    return out
+
+
 def material_comp_property(materials, table, mat_idx, comp, wavelength):
     m = materials
     flat = table.reshape(-1, table.shape[-1])
@@ -182,18 +217,16 @@ def fill_state(photons, geometry, active):
 
     any_hit = hit | use_analytic
 
-    # mesh boundary context
+    # mesh boundary context (two gathers: packed codes + precomputed
+    # normals; reference recomputes the normal from three vertex fetches,
+    # photon.h:355-367)
     safe_tri = jnp.where(hit, tri, 0)
     code = geometry.material_codes[safe_tri]
     inner = _sext8(code >> jnp.uint32(24))
     outer = _sext8(code >> jnp.uint32(16))
     surf = _sext8(code >> jnp.uint32(8))
 
-    tv = geometry.triangles[safe_tri]
-    v0 = geometry.vertices[tv[:, 0]]
-    v1 = geometry.vertices[tv[:, 1]]
-    v2 = geometry.vertices[tv[:, 2]]
-    face_normal = normalize(cross(v1 - v0, v2 - v1))
+    face_normal = geometry.tri_normals[safe_tri]
 
     outside = dot(face_normal, -photons.dir) > 0.0
     normal = jnp.where(outside[:, None], face_normal, -face_normal)
@@ -215,14 +248,16 @@ def fill_state(photons, geometry, active):
     mat2 = jnp.where(any_hit, mat2, 0)
 
     mats = geometry.materials
-    rindex1 = material_property(mats, mat1, MAT_REFRACTIVE_INDEX,
-                                photons.wavelength)
-    rindex2 = material_property(mats, mat2, MAT_REFRACTIVE_INDEX,
-                                photons.wavelength)
-    abslen = material_property(mats, mat1, MAT_ABSORPTION_LENGTH,
-                               photons.wavelength)
-    scatlen = material_property(mats, mat1, MAT_SCATTERING_LENGTH,
-                                photons.wavelength)
+    # one fat-row gather yields every material's (rindex, abslen, scatlen)
+    # at each photon's wavelength; per-lane material choice is then a
+    # dense select
+    mrows = wavelength_lerp_rows(mats.props_wl, photons.wavelength,
+                                 mats.wavelength0, mats.wavelength_step)
+    m1p = select_rows(mrows, mat1)                 # (N,3)
+    rindex1 = m1p[:, MAT_REFRACTIVE_INDEX]
+    abslen = m1p[:, MAT_ABSORPTION_LENGTH]
+    scatlen = m1p[:, MAT_SCATTERING_LENGTH]
+    rindex2 = select_rows(mrows[:, :, MAT_REFRACTIVE_INDEX], mat2)
 
     no_hit_now = active & ~any_hit
     flags = photons.flags | jnp.where(no_hit_now, jnp.uint32(NO_HIT),
@@ -380,39 +415,48 @@ def propagate_to_boundary(photons, state, key, use_weights=False,
     new_pos = photons.pos + step_dist[:, None] * photons.dir
 
     # --- absorbed: plain absorption or component reemission ---
+    # (skipped statically when no material has reemission components)
     m = materials
-    num_comp = m.num_comp[state.material1]
-    has_comp = num_comp > 0
+    if m.has_reemission:
+        num_comp = m.num_comp[state.material1]
+        has_comp = num_comp > 0
 
-    maxc = m.max_comp
-    comp_abs = jnp.stack(
-        [material_comp_property(m, m.comp_absorption_length,
-                                state.material1, c, photons.wavelength)
-         for c in range(maxc)], axis=1)                       # (N, maxc)
-    cum = jnp.cumsum(state.absorption_length[:, None] / comp_abs, axis=1)
-    u_comp = uniform(site_key(key, S_COMP), (n,))
-    is_last = (jnp.arange(maxc)[None, :] == (num_comp - 1)[:, None])
-    comp = jnp.argmax((u_comp[:, None] < cum) | is_last,
-                      axis=1).astype(jnp.int32)
+        maxc = m.max_comp
+        comp_abs = jnp.stack(
+            [material_comp_property(m, m.comp_absorption_length,
+                                    state.material1, c, photons.wavelength)
+             for c in range(maxc)], axis=1)                   # (N, maxc)
+        cum = jnp.cumsum(state.absorption_length[:, None] / comp_abs,
+                         axis=1)
+        u_comp = uniform(site_key(key, S_COMP), (n,))
+        is_last = (jnp.arange(maxc)[None, :] == (num_comp - 1)[:, None])
+        comp = jnp.argmax((u_comp[:, None] < cum) | is_last,
+                          axis=1).astype(jnp.int32)
 
-    reemit_prob = material_comp_property(m, m.comp_reemission_prob,
-                                         state.material1, comp,
-                                         photons.wavelength)
-    u_reemit = uniform(site_key(key, S_REEMIT), (n,))
-    reemits = absorbed & has_comp & (u_reemit < reemit_prob)
+        reemit_prob = material_comp_property(m, m.comp_reemission_prob,
+                                             state.material1, comp,
+                                             photons.wavelength)
+        u_reemit = uniform(site_key(key, S_REEMIT), (n,))
+        reemits = absorbed & has_comp & (u_reemit < reemit_prob)
 
-    comp_row = state.material1 * maxc + comp
-    wvl_flat = m.comp_reemission_wvl_cdf.reshape(-1, m.n_wavelength)
-    new_wavelength = sample_cdf_uniform_rows(
-        uniform(site_key(key, S_REEMIT_WVL), (n,)), wvl_flat, comp_row,
-        m.wavelength0, m.wavelength_step)
-    time_flat = m.comp_reemission_time_cdf.reshape(-1, m.n_time)
-    reemit_dt = sample_cdf_uniform_rows(
-        uniform(site_key(key, S_REEMIT_TIME), (n,)), time_flat, comp_row,
-        m.time0, m.time_step)
-    reemit_dir = uniform_sphere(site_key(key, S_REEMIT_DIR), (n,))
-    reemit_pol = _random_perpendicular_pol(site_key(key, S_REEMIT_POL),
-                                           reemit_dir)
+        comp_row = state.material1 * maxc + comp
+        wvl_flat = m.comp_reemission_wvl_cdf.reshape(-1, m.n_wavelength)
+        new_wavelength = sample_cdf_uniform_rows(
+            uniform(site_key(key, S_REEMIT_WVL), (n,)), wvl_flat, comp_row,
+            m.wavelength0, m.wavelength_step)
+        time_flat = m.comp_reemission_time_cdf.reshape(-1, m.n_time)
+        reemit_dt = sample_cdf_uniform_rows(
+            uniform(site_key(key, S_REEMIT_TIME), (n,)), time_flat,
+            comp_row, m.time0, m.time_step)
+        reemit_dir = uniform_sphere(site_key(key, S_REEMIT_DIR), (n,))
+        reemit_pol = _random_perpendicular_pol(site_key(key, S_REEMIT_POL),
+                                               reemit_dir)
+    else:
+        reemits = jnp.zeros(n, dtype=bool)
+        new_wavelength = photons.wavelength
+        reemit_dt = jnp.zeros(n, dtype=jnp.float32)
+        reemit_dir = photons.dir
+        reemit_pol = photons.pol
 
     # --- scattered: Rayleigh ---
     ray_dir, ray_pol = rayleigh_scatter(photons, site_key(key, S_RAYLEIGH))
@@ -536,19 +580,16 @@ def _reflect_either(photons, state, key, diffuse_mask):
     return select(diffuse_mask, diff, spec)
 
 
-def propagate_at_default_surface(photons, state, key, surfaces, wl0,
-                                 wl_step, use_weights=False):
+def propagate_at_default_surface(photons, state, key, sp,
+                                 use_weights=False):
     """Default surface: roulette over detect/absorb/diffuse/specular with
-    PASS for any residual (reference: photon.h:967-1035)."""
+    PASS for any residual (reference: photon.h:967-1035). `sp` is the
+    (N,8) per-lane surface property row."""
     n = len(photons)
-    s = state.surface
-    wl = photons.wavelength
-    detect = surface_property(surfaces, s, SURF_DETECT, wl, wl0, wl_step)
-    absorb = surface_property(surfaces, s, SURF_ABSORB, wl, wl0, wl_step)
-    rdiff = surface_property(surfaces, s, SURF_REFLECT_DIFFUSE, wl, wl0,
-                             wl_step)
-    rspec = surface_property(surfaces, s, SURF_REFLECT_SPECULAR, wl, wl0,
-                             wl_step)
+    detect = sp[:, SURF_DETECT]
+    absorb = sp[:, SURF_ABSORB]
+    rdiff = sp[:, SURF_REFLECT_DIFFUSE]
+    rspec = sp[:, SURF_REFLECT_SPECULAR]
 
     u = uniform(site_key(key, S_SURF), (n,))
     weight = photons.weight
@@ -601,21 +642,17 @@ def propagate_at_default_surface(photons, state, key, surfaces, wl0,
     return photons, command
 
 
-def propagate_complex(photons, state, key, surfaces, wl0, wl_step,
+def propagate_complex(photons, state, key, sp, thickness, transmissive,
                       use_weights=False):
     """Thin-film "complex" PMT surface model: multilayer interference with
     a complex-index film, from the RAT PMT optical model
     (reference: photon.h:669-827)."""
     n = len(photons)
-    s = state.surface
     wl = photons.wavelength
-    detect = surface_property(surfaces, s, SURF_DETECT, wl, wl0, wl_step)
-    rdiff = surface_property(surfaces, s, SURF_REFLECT_DIFFUSE, wl, wl0,
-                             wl_step)
-    n2_eta = surface_property(surfaces, s, SURF_ETA, wl, wl0, wl_step)
-    n2_k = surface_property(surfaces, s, SURF_K, wl, wl0, wl_step)
-    thickness = surfaces.thickness[s]
-    transmissive = surfaces.transmissive[s] != 0
+    detect = sp[:, SURF_DETECT]
+    rdiff = sp[:, SURF_REFLECT_DIFFUSE]
+    n2_eta = sp[:, SURF_ETA]
+    n2_k = sp[:, SURF_K]
 
     n1 = state.rindex1.astype(jnp.complex64)
     n2 = n2_eta + 1j * n2_k
@@ -723,19 +760,16 @@ def propagate_complex(photons, state, key, surfaces, wl0, wl_step,
     return photons, command
 
 
-def propagate_at_wls(photons, state, key, surfaces, wl0, wl_step,
+def propagate_at_wls(photons, state, key, sp, surfaces, wl0, wl_step,
                      use_weights=False):
     """Wavelength-shifting surface: absorb & reemit at a shifted
     wavelength, or reflect, or transmit (reference: photon.h:829-874)."""
     n = len(photons)
-    s = state.surface
-    wl = photons.wavelength
-    absorb = surface_property(surfaces, s, SURF_ABSORB, wl, wl0, wl_step)
-    rspec = surface_property(surfaces, s, SURF_REFLECT_SPECULAR, wl, wl0,
-                             wl_step)
-    rdiff = surface_property(surfaces, s, SURF_REFLECT_DIFFUSE, wl, wl0,
-                             wl_step)
-    reemit = surface_property(surfaces, s, SURF_REEMIT, wl, wl0, wl_step)
+    s = jnp.maximum(state.surface, 0)
+    absorb = sp[:, SURF_ABSORB]
+    rspec = sp[:, SURF_REFLECT_SPECULAR]
+    rdiff = sp[:, SURF_REFLECT_DIFFUSE]
+    reemit = sp[:, SURF_REEMIT]
 
     weight = photons.weight
     if use_weights:
@@ -912,23 +946,38 @@ def propagate_at_surface(photons, state, key, geometry, use_weights=False):
     surfaces = geometry.surfaces
     mats = geometry.materials
     wl0, wl_step = mats.wavelength0, mats.wavelength_step
-    model = surfaces.model[jnp.maximum(state.surface, 0)]
+    sidx = jnp.maximum(state.surface, 0)
+    model = select_small(surfaces.model, sidx)
+    thickness = select_small(surfaces.thickness, sidx)
+    transmissive = select_small(surfaces.transmissive, sidx) != 0
 
-    ph_def, cmd_def = propagate_at_default_surface(
-        photons, state, key, surfaces, wl0, wl_step, use_weights)
-    ph_cpx, cmd_cpx = propagate_complex(
-        photons, state, key, surfaces, wl0, wl_step, use_weights)
-    ph_wls, cmd_wls = propagate_at_wls(
-        photons, state, key, surfaces, wl0, wl_step, use_weights)
-    ph_dic, cmd_dic = propagate_at_dichroic(photons, state, key, geometry)
-    ph_ang, cmd_ang = propagate_at_angular(photons, state, key, surfaces,
-                                           use_weights)
+    # one fat-row gather: all surfaces' 8 properties at each photon's
+    # wavelength, then a dense per-lane surface select
+    srows = wavelength_lerp_rows(surfaces.props_wl, photons.wavelength,
+                                 wl0, wl_step)
+    sp = select_rows(srows, sidx)                   # (N,8)
 
-    out_ph, out_cmd = ph_def, cmd_def
-    for model_id, (ph_m, cmd_m) in ((SURFACE_COMPLEX, (ph_cpx, cmd_cpx)),
-                                    (SURFACE_WLS, (ph_wls, cmd_wls)),
-                                    (SURFACE_DICHROIC, (ph_dic, cmd_dic)),
-                                    (SURFACE_ANGULAR, (ph_ang, cmd_ang))):
+    # evaluate only the models that exist in this geometry (static)
+    present = surfaces.models_present
+    out_ph = photons
+    out_cmd = jnp.full(len(photons), PASS, dtype=jnp.int32)
+    if SURFACE_DEFAULT in present:
+        out_ph, out_cmd = propagate_at_default_surface(
+            photons, state, key, sp, use_weights)
+    specials = []
+    if SURFACE_COMPLEX in present:
+        specials.append((SURFACE_COMPLEX, propagate_complex(
+            photons, state, key, sp, thickness, transmissive, use_weights)))
+    if SURFACE_WLS in present:
+        specials.append((SURFACE_WLS, propagate_at_wls(
+            photons, state, key, sp, surfaces, wl0, wl_step, use_weights)))
+    if SURFACE_DICHROIC in present:
+        specials.append((SURFACE_DICHROIC, propagate_at_dichroic(
+            photons, state, key, geometry)))
+    if SURFACE_ANGULAR in present:
+        specials.append((SURFACE_ANGULAR, propagate_at_angular(
+            photons, state, key, surfaces, use_weights)))
+    for model_id, (ph_m, cmd_m) in specials:
         is_m = model == model_id
         out_ph = select(is_m, ph_m, out_ph)
         out_cmd = jnp.where(is_m, cmd_m, out_cmd)

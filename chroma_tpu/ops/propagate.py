@@ -100,6 +100,29 @@ def _next_pow2(x):
     return max(MIN_BATCH, 1 << int(np.ceil(np.log2(max(x, 1)))))
 
 
+@jax.jit
+def _count_alive(photons):
+    return jnp.sum(photons.alive.astype(jnp.int32))
+
+
+@jax.jit
+def _scatter_into(final, orig_idx, current):
+    "Write the (possibly compacted) lanes back into the full-size state."
+    return jax.tree_util.tree_map(
+        lambda f, c: f.at[orig_idx].set(c), final, current)
+
+
+@partial(jax.jit, static_argnames=('bucket',))
+def _compact(current, orig_idx, bucket):
+    """Device-side compaction: stable-partition live lanes to the front and
+    keep the first `bucket` of them. Replaces the reference's queue swap
+    (gpu/photon.py:277-286) without any host transfer of photon data."""
+    perm = jnp.argsort(jnp.where(current.alive, 0, 1), stable=True)
+    sel = perm[:bucket]
+    return (jax.tree_util.tree_map(lambda a: a[sel], current),
+            orig_idx[sel])
+
+
 def propagate(photons, geometry, key, max_steps=100, use_weights=False,
               scatter_first=0, compact=True, step_chunk=DEFAULT_STEP_CHUNK,
               track_steps=False):
@@ -111,9 +134,10 @@ def propagate(photons, geometry, key, max_steps=100, use_weights=False,
     (reference: gpu/photon.py photon_tracking).
     """
     n = len(photons)
-    orig_idx = np.arange(n)
-    # results assembled into writable host buffers as lanes retire
-    final = jax.tree_util.tree_map(lambda a: np.array(a), photons)
+    # everything below stays device-resident: the only per-chunk host
+    # traffic is the 4-byte alive count
+    orig_idx = jnp.arange(n)
+    final = photons
     tracking = []
 
     step = 0
@@ -125,38 +149,24 @@ def propagate(photons, geometry, key, max_steps=100, use_weights=False,
                                scatter_first=scatter_first)
         step += nsteps
 
-        alive = np.asarray(current.alive)
-        n_alive = int(alive.sum())
+        n_alive = int(_count_alive(current))
 
         if track_steps:
-            tracking.append((orig_idx.copy(),
+            tracking.append((np.asarray(orig_idx),
                              jax.tree_util.tree_map(np.asarray, current)))
 
         if n_alive == 0 or step >= max_steps:
-            _scatter_back(final, current, orig_idx)
+            final = _scatter_into(final, orig_idx, current)
             break
 
         # few survivors: finish their remaining steps in one launch
         # (reference heuristic: gpu/photon.py:259-264)
         few = n_alive <= max(len(current) // 16, MIN_BATCH // 4)
 
-        if compact and (n_alive <= len(current) // 2 or few):
-            _scatter_back(final, current, orig_idx)
-            keep = np.flatnonzero(alive)
-            bucket = _next_pow2(len(keep))
-            pad = bucket - len(keep)
-            host = jax.tree_util.tree_map(np.asarray, current)
-            sel = np.concatenate([keep, np.zeros(pad, dtype=np.int64)])
-            flags = np.array(host.flags[sel])
-            if pad:
-                # padding lanes are clones marked terminated
-                flags[len(keep):] |= np.uint32(event.NAN_ABORT
-                                               | event.NO_HIT)
-            current = jax.tree_util.tree_map(
-                lambda a: jnp.asarray(a[sel]), host)
-            current = current.replace(flags=jnp.asarray(flags))
-            orig_idx = np.concatenate(
-                [orig_idx[keep], np.full(pad, -1, dtype=orig_idx.dtype)])
+        bucket = _next_pow2(n_alive)
+        if compact and bucket < len(current):
+            final = _scatter_into(final, orig_idx, current)
+            current, orig_idx = _compact(current, orig_idx, bucket)
 
         if few and step < max_steps:
             current, _ = run_steps(current, geometry, key, step,
@@ -165,14 +175,14 @@ def propagate(photons, geometry, key, max_steps=100, use_weights=False,
                                    scatter_first=scatter_first)
             step = max_steps
             if track_steps:
-                tracking.append((orig_idx.copy(),
+                tracking.append((np.asarray(orig_idx),
                                  jax.tree_util.tree_map(np.asarray,
                                                         current)))
-            _scatter_back(final, current, orig_idx)
+            final = _scatter_into(final, orig_idx, current)
             break
 
-    result = jax.tree_util.tree_map(jnp.asarray, final)
-    if np.asarray(result.flags & np.uint32(event.NAN_ABORT)).any():
+    result = final
+    if bool(_any_aborted(result)):
         from chroma_tpu.log import logger
         logger.warning('ABORTED PHOTONS')  # reference: gpu/photon.py:288
     if track_steps:
@@ -180,12 +190,6 @@ def propagate(photons, geometry, key, max_steps=100, use_weights=False,
     return result
 
 
-def _scatter_back(final, current, orig_idx):
-    "Write the current (possibly compacted) lanes into the full result."
-    host = jax.tree_util.tree_map(np.asarray, current)
-    valid = orig_idx >= 0
-    idx = orig_idx[valid]
-
-    for name in ('pos', 'dir', 'pol', 'wavelength', 't', 'weight', 'flags',
-                 'last_hit_triangle', 'evidx'):
-        getattr(final, name)[idx] = getattr(host, name)[valid]
+@jax.jit
+def _any_aborted(photons):
+    return jnp.any((photons.flags & jnp.uint32(event.NAN_ABORT)) != 0)

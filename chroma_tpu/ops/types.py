@@ -51,6 +51,10 @@ SURF_REEMISSION_CDF = 7
 class MaterialTables:
     # (n_materials, 3, n_wavelength) f32: rindex / absorption / scattering
     props: jnp.ndarray
+    # wavelength-major copy (n_wavelength, n_materials, 3): the hot path
+    # fetches one row per photon and gets every material's properties in
+    # a single gather (one fat row ~= one 16-byte row in gather cost)
+    props_wl: jnp.ndarray
     # (n_materials,) i32 number of reemission components
     num_comp: jnp.ndarray
     # (n_materials, max_comp, n_wavelength) f32, padded with +inf
@@ -69,12 +73,21 @@ class MaterialTables:
     time_step: float = struct.field(pytree_node=False)
     n_time: int = struct.field(pytree_node=False)
     max_comp: int = struct.field(pytree_node=False)
+    # static: any material has reemission components (lets the step skip
+    # the component-sampling path entirely when false)
+    has_reemission: bool = struct.field(pytree_node=False)
 
 
 @struct.dataclass
 class SurfaceTables:
+    # static: which surface models actually occur — the step dispatcher
+    # skips absent models' code paths entirely
+    models_present: tuple = struct.field(pytree_node=False)
     # (n_surfaces, 8, n_wavelength) f32
     props: jnp.ndarray
+    # wavelength-major copy (n_wavelength, n_surfaces, 8); see
+    # MaterialTables.props_wl
+    props_wl: jnp.ndarray
     model: jnp.ndarray         # (n_surfaces,) i32
     transmissive: jnp.ndarray  # (n_surfaces,) i32
     thickness: jnp.ndarray     # (n_surfaces,) f32
@@ -135,6 +148,10 @@ class GeometryArrays:
     """The full device geometry."""
     vertices: jnp.ndarray        # (V,3) f32
     triangles: jnp.ndarray       # (T,3) i32
+    # per-triangle geometric normals (winding convention of
+    # cross(v1-v0, v2-v1), reference: photon.h:365-367), precomputed so
+    # the hot loop resolves a hit with two gathers instead of five
+    tri_normals: jnp.ndarray     # (T,3) f32
     material_codes: jnp.ndarray  # (T,) u32
     colors: jnp.ndarray          # (T,) u32
     solid_id: jnp.ndarray        # (T,) i32
@@ -211,6 +228,7 @@ def build_material_tables(materials, wavelengths=None, times=None):
 
     return MaterialTables(
         props=jnp.asarray(props),
+        props_wl=jnp.asarray(np.ascontiguousarray(props.transpose(2, 0, 1))),
         num_comp=jnp.asarray(num_comp),
         comp_absorption_length=jnp.asarray(comp_abs),
         comp_reemission_prob=jnp.asarray(comp_prob),
@@ -223,6 +241,7 @@ def build_material_tables(materials, wavelengths=None, times=None):
         time_step=float(times[1] - times[0]),
         n_time=n_t,
         max_comp=max_comp,
+        has_reemission=bool((num_comp > 0).any()),
     )
 
 
@@ -300,7 +319,9 @@ def build_surface_tables(surfaces, wavelengths=None):
     a_ang, a_n, a_trans, a_rspec, a_rdiff = pad_angular()
 
     return SurfaceTables(
+        models_present=tuple(sorted(set(int(m) for m in model))),
         props=jnp.asarray(props),
+        props_wl=jnp.asarray(np.ascontiguousarray(props.transpose(2, 0, 1))),
         model=jnp.asarray(model),
         transmissive=jnp.asarray(transmissive),
         thickness=jnp.asarray(thickness),
@@ -427,10 +448,18 @@ def build_geometry_arrays(geometry, wavelengths=None, times=None,
 
     detector = build_detector_arrays(geometry)
 
+    tri_pts = geometry.mesh.vertices[geometry.mesh.triangles]
+    raw_normals = np.cross(tri_pts[:, 1] - tri_pts[:, 0],
+                           tri_pts[:, 2] - tri_pts[:, 1])
+    lengths = np.linalg.norm(raw_normals, axis=1, keepdims=True)
+    tri_normals = (raw_normals
+                   / np.where(lengths > 0, lengths, 1.0)).astype(np.float32)
+
     wc = geometry.bvh.world_coords
     return GeometryArrays(
         vertices=jnp.asarray(geometry.mesh.vertices, dtype=jnp.float32),
         triangles=jnp.asarray(geometry.mesh.triangles, dtype=jnp.int32),
+        tri_normals=jnp.asarray(tri_normals),
         material_codes=jnp.asarray(material_codes),
         colors=jnp.asarray(geometry.colors.astype(np.uint32)),
         solid_id=jnp.asarray(geometry.solid_id.astype(np.int32)),

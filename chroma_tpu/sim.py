@@ -248,3 +248,42 @@ class Simulation(object):
                                          ndaq=ndaq)
                 self._pdf.accumulate(arrays, ndaq=ndaq)
         return self._pdf.get()
+
+    def setup_kernel(self, event_channels, bandwidth_iterable, trange,
+                     qrange, nreps=1, ndaq=1, time_only=True,
+                     scale_factor=1.0):
+        """Accumulate moments from an oversampled MC run and derive the
+        per-channel KDE bandwidths (reference API: gpu/pdf.py:13-112)."""
+        from chroma_tpu.ops import pdf as pdf_ops
+        self._kernel = pdf_ops.KernelPDF(self.gpu_geometry, trange, qrange,
+                                         time_only=time_only)
+        for ev in bandwidth_iterable:
+            for _ in range(nreps):
+                arrays = self._run_daq_once(ev, ndaq)
+                self._kernel.accumulate_moments(arrays)
+        hit = np.asarray(event_channels.hit).astype(bool)
+        t = np.asarray(event_channels.t, dtype=np.float32)
+        q = np.asarray(event_channels.q, dtype=np.float32)
+        self._kernel.compute_bandwidth(hit, t, q, scale_factor=scale_factor)
+        self._kernel.setup_kernel(hit, t, q)
+
+    def eval_kernel(self, event_channels, kernel_iterable, trange, qrange,
+                    nreps=1, ndaq=1, time_only=True):
+        """Per-channel KDE PDF values at the observed hits; requires a
+        prior setup_kernel() call."""
+        if getattr(self, '_kernel', None) is None:
+            raise RuntimeError('call setup_kernel() first')
+        self._kernel.clear_kernel()
+        for ev in kernel_iterable:
+            for _ in range(nreps):
+                arrays = self._run_daq_once(ev, ndaq)
+                self._kernel.accumulate_kernel(arrays)
+        return self._kernel.get_kernel_eval()
+
+    def _run_daq_once(self, ev, ndaq):
+        "Propagate one event's photons and run the DAQ (ndaq replicas)."
+        state = photon_state_from_host(ev.photons_beg)
+        key = self._next_key()
+        result = propagate(state, self.gpu_geometry, key, max_steps=100)
+        return daq_ops.run_daq(result, self.gpu_geometry,
+                               jax.random.fold_in(key, 1), ndaq=ndaq)

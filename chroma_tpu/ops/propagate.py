@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from chroma_tpu import event
 from chroma_tpu.ops.photon import PhotonState, propagate_step
+from chroma_tpu.profiler import profiler
 
 # steps per jit launch between compaction checks
 DEFAULT_STEP_CHUNK = 16
@@ -144,12 +145,15 @@ def propagate(photons, geometry, key, max_steps=100, use_weights=False,
     current = photons
     while True:
         nsteps = min(step_chunk, max_steps - step)
-        current, _ = run_steps(current, geometry, key, step, nsteps,
-                               use_weights=use_weights,
-                               scatter_first=scatter_first)
+        with profiler.region('propagate.chunk[n=%d]' % len(current)):
+            current, _ = run_steps(current, geometry, key, step, nsteps,
+                                   use_weights=use_weights,
+                                   scatter_first=scatter_first)
+            n_alive = int(_count_alive(current))
         step += nsteps
-
-        n_alive = int(_count_alive(current))
+        profiler.count('propagate.steps', nsteps)
+        profiler.count('propagate.lane_steps', nsteps * len(current))
+        profiler.count('propagate.alive_after_chunk', n_alive)
 
         if track_steps:
             tracking.append((np.asarray(orig_idx),

@@ -24,6 +24,7 @@ from chroma_tpu.ops.types import build_geometry_arrays
 from chroma_tpu.ops.propagate import (propagate, photon_state_from_host,
                                       photon_state_to_host)
 from chroma_tpu.ops import daq as daq_ops
+from chroma_tpu.profiler import profiler
 
 
 def pick_seed():
@@ -45,6 +46,9 @@ class Simulation(object):
             detector = create_geometry_from_obj(detector)
         self.detector = detector
         self.photon_tracking = photon_tracking
+        # steps per launch between compaction checks; 2 measured optimal
+        # on the tunneled single-chip setup
+        self.step_chunk = int(compat_kwargs.pop('step_chunk', 2))
 
         if seed is None:
             seed = pick_seed()
@@ -127,12 +131,14 @@ class Simulation(object):
         batch = event.Photons.join(photon_sources) \
             if len(photon_sources) > 1 else photon_sources[0]
 
-        state = photon_state_from_host(batch)
+        with profiler.region('sim.upload'):
+            state = photon_state_from_host(batch)
         key = self._next_key()
 
         result = propagate(state, self.gpu_geometry, key,
                            max_steps=max_steps,
-                           step_chunk=1 if self.photon_tracking else 16,
+                           step_chunk=1 if self.photon_tracking
+                           else self.step_chunk,
                            track_steps=self.photon_tracking)
         if self.photon_tracking:
             result, tracking = result

@@ -239,6 +239,12 @@ class KernelPDF(object):
             self.inv_charge_bandwidths = jnp.asarray(
                 inv_qb.astype(np.float32))
 
+    def clear_kernel(self):
+        self.hitcount = jnp.zeros(self.nchannels, dtype=jnp.int32)
+        self.time_pdf_values = jnp.zeros(self.nchannels, dtype=jnp.float32)
+        self.charge_pdf_values = jnp.zeros(self.nchannels,
+                                           dtype=jnp.float32)
+
     def setup_kernel(self, event_hit, event_time, event_charge):
         self.event_hit = jnp.asarray(event_hit.astype(bool))
         self.event_time = jnp.asarray(event_time.astype(np.float32))

@@ -71,10 +71,10 @@ def test_kernel_pdf(sim):
     np.random.seed(2)
     obs = next(sim.simulate(photon_bomb(500, 400.0, (0, 0, 0)),
                             run_daq=True))
-    sim.setup_kernel(obs.channels, _events(4), (0.0, 20.0), (-0.5, 7.5),
+    sim.setup_kernel(obs.channels, _events(4), (-10.0, 20.0), (-0.5, 49.5),
                      nreps=1, ndaq=4)
     hitcount, pdf_values, _ = sim.eval_kernel(obs.channels, _events(4),
-                                              (0.0, 20.0), (-0.5, 7.5),
+                                              (-10.0, 20.0), (-0.5, 49.5),
                                               nreps=1, ndaq=4)
     assert hitcount[0] > 0
     assert pdf_values[0] > 0

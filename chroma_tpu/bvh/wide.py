@@ -98,10 +98,16 @@ def build_wide_bvh(mesh, fanout=FANOUT, leaf_size=LEAF_SIZE,
     world_origin = vertices.min(axis=0)
     world_scale = max(float((vertices.max(axis=0) - world_origin).max())
                       / (2 ** 16 - 2), 1e-12)
-    centroid = tri.mean(axis=1)
-    q = ((centroid - world_origin) / world_scale).astype(np.uint32)
-    codes = morton_codes_3d(q)
-    order = np.argsort(codes)
+    from chroma_tpu import native
+    codes = native.morton_codes(tri, world_origin, world_scale) \
+        if ntri > 100000 else None
+    if codes is None:
+        centroid = tri.mean(axis=1)
+        q = ((centroid - world_origin) / world_scale).astype(np.uint32)
+        codes = morton_codes_3d(q)
+    order = native.argsort_u64(codes) if ntri > 100000 else None
+    if order is None:
+        order = np.argsort(codes)
     tri = tri[order]
     tri_index = order.astype(np.int32)
     codes = codes[order]

@@ -71,10 +71,18 @@ class Mesh(object):
 
     def remove_duplicate_vertices(self):
         "Merge identical vertices and remap triangles."
-        unique_vertices, inverse = np.unique(
-            self.vertices.view([('', self.vertices.dtype)] * 3),
-            return_inverse=True)
-        self.vertices = unique_vertices.view(self.vertices.dtype).reshape(-1, 3)
+        from chroma_tpu import native
+        result = native.dedupe_vertices(self.vertices) \
+            if len(self.vertices) > 100000 else None
+        if result is not None:
+            unique_vertices, inverse = result
+        else:
+            unique_vertices, inverse = np.unique(
+                self.vertices.view([('', self.vertices.dtype)] * 3),
+                return_inverse=True)
+            unique_vertices = unique_vertices.view(
+                self.vertices.dtype).reshape(-1, 3)
+        self.vertices = unique_vertices
         self.triangles = inverse.reshape(-1)[self.triangles.reshape(-1)] \
             .reshape(self.triangles.shape).astype(np.int32)
 

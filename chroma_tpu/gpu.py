@@ -1,0 +1,241 @@
+"""Drop-in naming compatibility with the reference's chroma.gpu layer.
+
+The reference exposes device runtime classes as chroma.gpu.GPUGeometry,
+GPUPhotons, GPUDaq, GPUPDF... (reference: chroma/gpu/__init__.py). The
+TPU equivalents live in chroma_tpu.ops as functional modules; this facade
+wraps them in the familiar object API so reference call sites port with
+an import change.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+
+from chroma_tpu.ops.types import build_geometry_arrays
+from chroma_tpu.ops.propagate import (propagate, photon_state_from_host,
+                                      photon_state_to_host)
+from chroma_tpu.ops import daq as daq_ops
+from chroma_tpu.ops import pdf as pdf_ops
+
+
+def create_cuda_context(device=None):
+    "No-op placeholder: JAX owns the device. Returns a dummy context."
+    class _Ctx(object):
+        def pop(self):
+            pass
+    return _Ctx()
+
+
+def get_rng_states(n, seed=1):
+    "The TPU engine uses counter-based keys; returns the base key."
+    return jax.random.key(seed)
+
+
+class GPUGeometry(object):
+    "Device geometry (reference: chroma/gpu/geometry.py GPUGeometry)."
+
+    def __init__(self, geometry, wavelengths=None, times=None,
+                 print_usage=False, **_compat):
+        self.geometry = geometry
+        self.arrays = build_geometry_arrays(geometry, wavelengths, times)
+        if print_usage:
+            self.print_device_usage()
+
+    def print_device_usage(self):
+        rows = self.arrays.wide.rows if self.arrays.wide is not None \
+            else self.arrays.nodes
+        print('device geometry: %d triangles, %.1f MB acceleration rows'
+              % (len(self.arrays.triangles), rows.size * 4 / 1e6))
+
+
+class GPUDetector(GPUGeometry):
+    "Detector geometry with channel map (reference: gpu/detector.py)."
+
+
+class GPUPhotons(object):
+    "Device photon batch (reference: chroma/gpu/photon.py GPUPhotons)."
+
+    def __init__(self, photons, ncopies=1, **_compat):
+        if ncopies > 1:
+            from chroma_tpu.event import Photons
+            photons = Photons.join([photons] * ncopies)
+        self.state = photon_state_from_host(photons)
+        self.true_nphotons = len(photons)
+
+    def __len__(self):
+        return len(self.state)
+
+    def propagate(self, gpu_geometry, rng_states, max_steps=100,
+                  use_weights=False, scatter_first=0, track=False,
+                  **_compat):
+        result = propagate(self.state, gpu_geometry.arrays, rng_states,
+                           max_steps=max_steps, use_weights=use_weights,
+                           scatter_first=scatter_first,
+                           track_steps=track)
+        if track:
+            self.state, tracking = result
+            return tracking
+        self.state = result
+        return None
+
+    def get(self):
+        return photon_state_to_host(self.state)
+
+    def get_flat_hits(self, gpu_geometry):
+        "Photons detected by channels (reference: gpu/photon.py:141-209)."
+        host = photon_state_to_host(self.state)
+        geometry = gpu_geometry.geometry
+        channel = daq_ops.photon_channels(
+            host, geometry.solid_id,
+            np.asarray(geometry.solid_id_to_channel_index))
+        host.channel = np.maximum(channel, 0).astype(np.uint32)
+        return host[channel >= 0]
+
+    def select(self, target_flag):
+        "Photons whose history matches target_flag."
+        host = photon_state_to_host(self.state)
+        return host[(host.flags & np.uint32(target_flag)) != 0]
+
+
+class GPUDaq(object):
+    "DAQ runner (reference: chroma/gpu/daq.py GPUDaq)."
+
+    def __init__(self, gpu_detector, ndaq=1):
+        self.gpu_detector = gpu_detector
+        self.ndaq = ndaq
+        self._pending = None
+
+    def begin_acquire(self, nthreads_per_block=None):
+        self._pending = None
+
+    def acquire(self, gpu_photons, rng_states, start_photon=0,
+                nphotons=None, **_compat):
+        state = gpu_photons.state
+        if nphotons is not None:
+            state = jax.tree_util.tree_map(
+                lambda a: a[start_photon:start_photon + nphotons], state)
+        self._pending = daq_ops.run_daq(state, self.gpu_detector.arrays,
+                                        rng_states, ndaq=self.ndaq)
+        return self._pending
+
+    def end_acquire(self):
+        return GPUChannels(self._pending, self.ndaq)
+
+
+class GPUChannels(object):
+    "Channel readout container (reference: chroma/gpu/daq.py GPUChannels)."
+
+    def __init__(self, arrays, ndaq=1):
+        self.arrays = arrays
+        self.ndaq = ndaq
+        self.t = arrays.earliest_time
+        self.q = arrays.charge
+        self.flags = arrays.histories
+
+    def get(self):
+        return daq_ops.channels_to_host(self.arrays)
+
+
+class GPUPDF(object):
+    "Binned + variable-bin PDF estimation (reference: chroma/gpu/pdf.py)."
+
+    def __init__(self):
+        self._accum = None
+        self._eval = None
+
+    def setup_pdf(self, gpu_geometry, tbins, trange, qbins, qrange):
+        self._accum = pdf_ops.PDFAccumulator(gpu_geometry.arrays, tbins,
+                                             trange, qbins, qrange)
+
+    def clear_pdf(self):
+        self._accum.clear()
+
+    def add_hits_to_pdf(self, gpu_channels, **_compat):
+        self._accum.add(gpu_channels.arrays, ndaq=gpu_channels.ndaq)
+
+    def get_pdfs(self):
+        return self._accum.get()
+
+    def setup_pdf_eval(self, gpu_geometry, event_channels, min_twidth,
+                       trange, min_qwidth, qrange, min_bin_content=10,
+                       time_only=True):
+        self._eval = pdf_ops.PDFEval(gpu_geometry.arrays, event_channels,
+                                     min_twidth, trange, min_qwidth,
+                                     qrange, min_bin_content, time_only)
+
+    def clear_pdf_eval(self):
+        self._eval.clear()
+
+    def accumulate_pdf_eval(self, gpu_channels, **_compat):
+        self._eval.accumulate(gpu_channels.arrays,
+                              ndaq=gpu_channels.ndaq)
+
+    def get_pdf_eval(self):
+        return self._eval.get()
+
+
+class GPUKernelPDF(object):
+    "Gaussian KDE PDF estimation (reference: chroma/gpu/pdf.py:7-175)."
+
+    def __init__(self):
+        self._kernel = None
+
+    def setup_moments(self, gpu_geometry, trange, qrange, time_only=True):
+        self._kernel = pdf_ops.KernelPDF(gpu_geometry.arrays, trange,
+                                         qrange, time_only=time_only)
+
+    def clear_moments(self):
+        self._kernel.clear_moments()
+
+    def accumulate_moments(self, gpu_channels, **_compat):
+        self._kernel.accumulate_moments(gpu_channels.arrays)
+
+    def compute_bandwidth(self, event_hit, event_time, event_charge,
+                          scale_factor=1.0):
+        self._kernel.compute_bandwidth(event_hit, event_time,
+                                       event_charge, scale_factor)
+
+    def setup_kernel(self, event_hit, event_time, event_charge):
+        self._kernel.setup_kernel(event_hit, event_time, event_charge)
+
+    def clear_kernel(self):
+        self._kernel.clear_kernel()
+
+    def accumulate_kernel(self, gpu_channels, **_compat):
+        self._kernel.accumulate_kernel(gpu_channels.arrays)
+
+    def get_kernel_eval(self):
+        return self._kernel.get_kernel_eval()
+
+
+class GPURays(object):
+    "Ray bundle for rendering (reference: chroma/gpu/render.py GPURays)."
+
+    def __init__(self, pos, dir, max_alpha_depth=10, **_compat):
+        from chroma_tpu.camera import Rays
+        self._rays = Rays(pos, dir)
+        self.max_alpha_depth = max_alpha_depth
+
+    @property
+    def pos(self):
+        return self._rays.pos
+
+    @property
+    def dir(self):
+        return self._rays.dir
+
+    def rotate(self, phi, n):
+        self._rays.rotate(phi, n)
+
+    def rotate_around_point(self, phi, n, point):
+        self._rays.rotate_around_point(phi, n, point)
+
+    def translate(self, v):
+        self._rays.translate(v)
+
+    def render(self, gpu_geometry, pixels=None, alpha_depth=10,
+               keep_last_render=False):
+        out = self._rays.render(gpu_geometry.arrays, alpha_depth)
+        if pixels is not None:
+            pixels[:] = np.asarray(out)
+        return out

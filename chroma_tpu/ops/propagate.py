@@ -74,10 +74,13 @@ def photon_state_to_host(state, channel=None):
 def run_steps(photons, geometry, key, start_step, nsteps, use_weights=False,
               scatter_first=0):
     """Run up to `nsteps` propagation steps, exiting early when every
-    photon has terminated. Keys are derived from (key, absolute step), so
-    resuming with a different chunking gives identical photon histories.
-    scatter_first only applies at absolute step 0 (reference:
-    propagate.cu:319)."""
+    photon has terminated. Keys derive from (key, absolute step), so for a
+    FIXED batch layout any resume chunking gives identical histories;
+    after a compaction the lane order changes and draws reassign (the
+    reference's thread-keyed curand has the same property). Results are
+    exactly reproducible for a given (seed, chunking) and
+    distribution-identical across chunkings. scatter_first only applies
+    at absolute step 0 (reference: propagate.cu:319)."""
     scatter_first = jnp.asarray(scatter_first, dtype=jnp.int32)
 
     def cond(carry):

@@ -12,8 +12,9 @@ from __future__ import annotations
 
 import numpy as np
 
-from chroma_tpu.bvh.bvh import (BVH, WorldCoords, CHILD_BITS, uint4,
-                                pack_nodes, unpack_nodes)
+from chroma_tpu.bvh.bvh import (BVH, WorldCoords, CHILD_BITS,
+                                NCHILD_MASK, uint4, pack_nodes,
+                                unpack_nodes)
 
 MAX_CHILD = 2 ** (32 - CHILD_BITS) - 1
 
@@ -250,3 +251,73 @@ def make_simple_bvh(mesh, degree):
 
     nodes, layer_bounds = concatenate_layers(layers)
     return BVH(world_coords, nodes, layer_bounds[:-1])
+
+
+def _node_children(nodes):
+    w = nodes['w'].astype(np.int64)
+    return w & int(~NCHILD_MASK & 0xFFFFFFFF), w >> CHILD_BITS
+
+
+def area_sort_nodes(nodes, layer_bounds):
+    """Sort every node's children in place by descending bounding-box area,
+    so traversals test big children first (reference: area_sort_child,
+    chroma/cuda/bvh.cu:545-575; chroma/gpu/bvh.py:133-146)."""
+    from chroma_tpu.bvh.bvh import node_areas
+
+    nodes = nodes.copy()
+    child, nchild = _node_children(nodes)
+    areas = node_areas(nodes)
+
+    bounds = list(zip(layer_bounds[:-1], layer_bounds[1:]))[:-1]
+    for start, end in bounds:
+        internal = np.flatnonzero(nchild[start:end] > 0) + start
+        if len(internal) == 0:
+            continue
+        counts = nchild[internal]
+        seg_id = np.repeat(np.arange(len(internal)), counts)
+        child_idx = np.concatenate(
+            [np.arange(c, c + n) for c, n in zip(child[internal], counts)])
+        # contiguous per-parent segments: lexsort by (segment, -area)
+        perm = np.lexsort((-areas[child_idx], seg_id))
+        nodes[child_idx] = nodes[child_idx[perm]]
+    return nodes
+
+
+def optimize_layer(nodes, max_sweeps=1, window=32):
+    """Greedy surface-area minimization of sibling pairings within a layer
+    (a bounded numpy version of the reference's iterative pair-swap search,
+    reference: chroma/gpu/bvh.py:269-369, cuda/bvh.cu:402-528): for each
+    even slot, pick the partner among the next `window` nodes that
+    minimizes the union area of the pair."""
+    from chroma_tpu.bvh.bvh import unpack_nodes
+
+    nodes = nodes.copy()
+    u = unpack_nodes(nodes)
+    lo = np.stack([u['xlo'], u['ylo'], u['zlo']], axis=1).astype(np.int64)
+    hi = np.stack([u['xhi'], u['yhi'], u['zhi']], axis=1).astype(np.int64)
+
+    def pair_area(i, j):
+        l = np.minimum(lo[i], lo[j])
+        h = np.maximum(hi[i], hi[j])
+        d = h - l
+        return 2 * (d[0] * d[1] + d[1] * d[2] + d[2] * d[0])
+
+    n = len(nodes)
+    for _ in range(max_sweeps):
+        swaps = 0
+        for i in range(0, n - 1, 2):
+            best_j = i + 1
+            best_area = pair_area(i, i + 1)
+            for j in range(i + 2, min(i + 2 + window, n)):
+                a = pair_area(i, j)
+                if a < best_area:
+                    best_area = a
+                    best_j = j
+            if best_j != i + 1:
+                nodes[[i + 1, best_j]] = nodes[[best_j, i + 1]]
+                lo[[i + 1, best_j]] = lo[[best_j, i + 1]]
+                hi[[i + 1, best_j]] = hi[[best_j, i + 1]]
+                swaps += 1
+        if swaps == 0:
+            break
+    return nodes

@@ -106,3 +106,118 @@ def distances(origin, direction, geometry):
                                             keepdims=True)
     tri, dist = intersect_mesh_wide(origin, direction, geometry.wide)
     return jnp.where(tri >= 0, dist, jnp.inf)
+
+
+# ---------------------------------------------------------------------------
+# hybrid rendering: progressive photon mapping
+# (device analog of chroma/cuda/hybrid_render.cu)
+# ---------------------------------------------------------------------------
+
+def to_diffuse(photons, geometry, key, max_steps=10):
+    """Propagate photons until their first diffuse reflection (or
+    termination), leaving them parked on the diffuse surface
+    (reference: hybrid_render.cu:19-58 to_diffuse)."""
+    from chroma_tpu.event import REFLECT_DIFFUSE, TERMINAL_FLAGS
+    from chroma_tpu.ops.photon import propagate_step, select
+
+    def parked(ph):
+        return ((ph.flags & jnp.uint32(REFLECT_DIFFUSE | TERMINAL_FLAGS))
+                != 0)
+
+    def cond(carry):
+        i, ph = carry
+        return (i < max_steps) & jnp.any(~parked(ph))
+
+    def body(carry):
+        i, ph = carry
+        stepped = propagate_step(ph, geometry,
+                                 jax.random.fold_in(key, i))
+        ph = select(parked(ph), ph, stepped)
+        return i + 1, ph
+
+    _, photons = jax.lax.while_loop(cond, body, (0, photons))
+    return photons
+
+
+@jax.jit
+def update_xyz_lookup(photons, geometry, xyz_lookup):
+    """Accumulate photon radiance (CIE-weighted by wavelength) onto the
+    triangles where photons came to rest
+    (reference: hybrid_render.cu:63-131 update_xyz_lookup, with the
+    scatter-add replacing the atomic float adds)."""
+    from chroma_tpu.event import REFLECT_DIFFUSE
+
+    landed = (((photons.flags & jnp.uint32(REFLECT_DIFFUSE)) != 0)
+              & (photons.last_hit_triangle >= 0))
+    tri = jnp.where(landed, photons.last_hit_triangle, 0)
+
+    # coarse CIE-like response from the wavelength (device-side analytic
+    # approximation of chroma_tpu.color.map_wavelength)
+    wl = photons.wavelength
+    r = jnp.exp(-0.5 * ((wl - 600.0) / 50.0) ** 2)
+    g = jnp.exp(-0.5 * ((wl - 550.0) / 40.0) ** 2)
+    b = jnp.exp(-0.5 * ((wl - 450.0) / 40.0) ** 2)
+    rgb = jnp.stack([r, g, b], axis=1) * photons.weight[:, None]
+    rgb = jnp.where(landed[:, None], rgb, 0.0)
+
+    return xyz_lookup.at[tri].add(rgb)
+
+
+@jax.jit
+def update_xyz_image(origin, direction, geometry, xyz_lookup, image):
+    """Add the radiance of the first surface each camera ray sees
+    (reference: hybrid_render.cu:133-166)."""
+    direction = direction / jnp.linalg.norm(direction, axis=-1,
+                                            keepdims=True)
+    tri, dist = intersect_mesh_wide(origin, direction, geometry.wide)
+    hit = tri >= 0
+    radiance = xyz_lookup[jnp.where(hit, tri, 0)]
+    return image + jnp.where(hit[:, None], radiance, 0.0)
+
+
+@jax.jit
+def process_image(image):
+    """Tone-map an accumulated float image to ARGB pixels
+    (reference: hybrid_render.cu:168-200)."""
+    peak = jnp.maximum(jnp.max(image), 1e-20)
+    scaled = jnp.clip(image / peak, 0.0, 1.0)
+    rgb = (scaled * 255.0).astype(jnp.uint32)
+    return (jnp.uint32(0xFF000000) | (rgb[:, 0] << jnp.uint32(16))
+            | (rgb[:, 1] << jnp.uint32(8)) | rgb[:, 2])
+
+
+def hybrid_render(origin, direction, geometry, key, nphotons=100000,
+                  nbatches=4, max_steps=10):
+    """Progressive photon-map render: fire isotropic photon batches from
+    the camera position, park them on diffuse surfaces, accumulate their
+    radiance per triangle, then composite along the camera rays
+    (reference: camera.py hybrid render loop + hybrid_render.cu)."""
+    from chroma_tpu.ops.photon import PhotonState
+    from chroma_tpu.ops.sample import uniform_sphere
+
+    n_tri = geometry.triangles.shape[0]
+    xyz = jnp.zeros((n_tri, 3), jnp.float32)
+
+    cam = jnp.asarray(origin[0])
+    for b in range(nbatches):
+        kb = jax.random.fold_in(key, b)
+        dirs = uniform_sphere(jax.random.fold_in(kb, 0), (nphotons,))
+        pols = jnp.cross(uniform_sphere(jax.random.fold_in(kb, 1),
+                                        (nphotons,)), dirs)
+        pols = pols / jnp.linalg.norm(pols, axis=1, keepdims=True)
+        wl = jax.random.uniform(jax.random.fold_in(kb, 2), (nphotons,),
+                                minval=380.0, maxval=680.0)
+        ph = PhotonState(
+            pos=jnp.tile(cam[None, :], (nphotons, 1)),
+            dir=dirs, pol=pols, wavelength=wl,
+            t=jnp.zeros(nphotons), weight=jnp.ones(nphotons),
+            flags=jnp.zeros(nphotons, jnp.uint32),
+            last_hit_triangle=jnp.full(nphotons, -1, jnp.int32),
+            evidx=jnp.zeros(nphotons, jnp.uint32))
+        ph = to_diffuse(ph, geometry, kb, max_steps=max_steps)
+        xyz = update_xyz_lookup(ph, geometry, xyz)
+
+    image = jnp.zeros((origin.shape[0], 3), jnp.float32)
+    image = update_xyz_image(jnp.asarray(origin), jnp.asarray(direction),
+                             geometry, xyz, image)
+    return process_image(image)

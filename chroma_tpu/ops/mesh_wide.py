@@ -2,9 +2,9 @@
 
 The hot loop of the framework. Per iteration and per photon lane:
 
-  * ONE ~800 B gather of a unified table row — either a node row (up to F
-    children's AABBs + first-child pointer) or a leaf row (up to K
-    pre-assembled triangles). Gathers on TPU cost ~20 ns/row nearly
+  * ONE ~400-800 B gather of a unified table row — either a node row (up
+    to F children's AABBs + first-child pointer) or a leaf row (up to K
+    pre-assembled triangles). Gathers on TPU cost ~8-20 ns/row nearly
     independent of width, so fat rows amortize the fetch;
   * a dense slab sweep of all F children / Moller-Trumbore sweep of all K
     triangles on the VPU (cheap next to the gather);
@@ -12,10 +12,19 @@ The hot loop of the framework. Per iteration and per photon lane:
     (sibling-base, pending-bitmask) stack whose depth is the (shallow)
     tree height.
 
-Descent is nearest-child-first for early pruning. This replaces both the
-reference's per-thread stack walk (chroma/cuda/mesh.h:45-126) and this
-framework's escape-pointer DFS (chroma_tpu.ops.mesh) on the hot path; the
-DFS version remains as the cross-checking reference implementation.
+Descent is nearest-child-first for early pruning.
+
+Tail divergence: traversal lengths are heavy-tailed (mean ~12-35 visits,
+max ~80+), and a lockstep loop pays max-visits gathers for every lane. So
+the query runs in two phases inside one jit: a fixed number of full-batch
+iterations, then a device-side compaction (stable argsort) that packs the
+surviving minority into a static 1/4-size slice for the remainder, with a
+full-size fallback loop for rare overflow. No host synchronization.
+
+This replaces both the reference's per-thread stack walk
+(chroma/cuda/mesh.h:45-126) and this framework's escape-pointer DFS
+(chroma_tpu.ops.mesh) on the hot path; the DFS version remains as the
+cross-checking reference implementation.
 """
 from __future__ import annotations
 
@@ -24,6 +33,12 @@ import jax.numpy as jnp
 
 EPSILON = 1e-6
 FLT_EPSILON = 1.19209290e-07
+
+# two-phase tuning: full-batch iterations before compacting the active
+# tail into a 1/COMPACT_DIVISOR slice
+PHASE1_ITERS = 28
+COMPACT_DIVISOR = 4
+MIN_TWO_PHASE = 4096
 
 
 def _ctz32(m):
@@ -34,45 +49,15 @@ def _ctz32(m):
         jax.lax.population_count(low - jnp.uint32(1)).astype(jnp.int32))
 
 
-def intersect_mesh_wide(origin, direction, wide, last_hit_triangle=None,
-                        mask=None, best_limit=None):
-    """Nearest-triangle query against a WideBVH.
-
-    origin/direction: (N,3) f32, direction normalized.
-    last_hit_triangle: (N,) i32 excluded triangle (or None).
-    mask: (N,) bool lanes to trace (or None).
-    best_limit: (N,) f32 optional initial upper bound on the hit distance.
-
-    Returns (triangle (N,) i32, distance (N,) f32) with -1/+inf misses.
-    """
+def _make_body(wide, rays):
+    """Build the per-iteration visit function for a ray bundle.
+    rays = (origin, direction, inv_dir, neg_org, finite, last_hit)."""
+    origin, direction, inv_dir, neg_org, finite, last_hit = rays
     n = origin.shape[0]
     f = wide.fanout
     k = wide.leaf_size
     depth_max = wide.max_depth
     leaf_base = wide.leaf_base
-
-    if last_hit_triangle is None:
-        last_hit_triangle = jnp.full(n, -1, jnp.int32)
-
-    inv_dir = 1.0 / direction                       # (N,3)
-    neg_org = -origin * inv_dir
-    finite = jnp.isfinite(inv_dir)
-
-    izero = (origin[:, 0] * 0).astype(jnp.int32)
-    fzero = origin[:, 0] * 0
-
-    cur0 = izero                 # start at the root row
-    depth0 = izero
-    # derived from izero so the carry inherits shard_map varying axes
-    bases0 = jnp.zeros((n, depth_max), dtype=jnp.int32) + izero[:, None]
-    masks0 = jnp.zeros((n, depth_max), dtype=jnp.uint32) \
-        + izero[:, None].astype(jnp.uint32)
-    best_tri0 = izero - 1
-    best_d0 = fzero + jnp.inf
-    if best_limit is not None:
-        best_d0 = best_limit
-    if mask is not None:
-        cur0 = jnp.where(mask, cur0, -1)
 
     def child_hitmask(rows, best_d, active):
         """Dense slab test of all F children in a fetched node row.
@@ -82,7 +67,8 @@ def intersect_mesh_wide(origin, direction, wide, last_hit_triangle=None,
         hi = r[:, 3:6]
         t0 = lo * inv_dir[:, :, None] + neg_org[:, :, None]
         t1 = hi * inv_dir[:, :, None] + neg_org[:, :, None]
-        tsmall = jnp.where(finite[:, :, None], jnp.minimum(t0, t1), -jnp.inf)
+        tsmall = jnp.where(finite[:, :, None], jnp.minimum(t0, t1),
+                           -jnp.inf)
         tbig = jnp.where(finite[:, :, None], jnp.maximum(t0, t1), jnp.inf)
         tmin = jnp.maximum(jnp.max(tsmall, axis=1), 0.0)   # (N,F)
         tmax = jnp.min(tbig, axis=1)
@@ -123,7 +109,7 @@ def intersect_mesh_wide(origin, direction, wide, last_hit_triangle=None,
               & (v >= -EPSILON) & (u + v <= 1.0 + EPSILON)
               & (t > EPSILON) & jnp.isfinite(t)
               & (tri_idx >= 0)
-              & (tri_idx != last_hit_triangle[:, None])
+              & (tri_idx != last_hit[:, None])
               & active[:, None])
         t = jnp.where(ok, t, jnp.inf)
         # min + masked select instead of argmin-indexing: per-lane fancy
@@ -193,9 +179,97 @@ def intersect_mesh_wide(origin, direction, wide, last_hit_triangle=None,
 
         return cur, depth, bases, masks, best_tri, best_d
 
-    def cond(state):
-        return jnp.any(state[0] >= 0)
+    return body
 
-    init = (cur0, depth0, bases0, masks0, best_tri0, best_d0)
-    _, _, _, _, best_tri, best_d = jax.lax.while_loop(cond, body, init)
+
+def _any_active(state):
+    return jnp.any(state[0] >= 0)
+
+
+def intersect_mesh_wide(origin, direction, wide, last_hit_triangle=None,
+                        mask=None, best_limit=None, two_phase=True):
+    """Nearest-triangle query against a WideBVH.
+
+    origin/direction: (N,3) f32, direction normalized.
+    last_hit_triangle: (N,) i32 excluded triangle (or None).
+    mask: (N,) bool lanes to trace (or None).
+    best_limit: (N,) f32 optional initial upper bound on the hit distance.
+
+    Returns (triangle (N,) i32, distance (N,) f32) with -1/+inf misses.
+    """
+    n = origin.shape[0]
+    depth_max = wide.max_depth
+
+    if last_hit_triangle is None:
+        last_hit_triangle = jnp.full(n, -1, jnp.int32)
+
+    inv_dir = 1.0 / direction                       # (N,3)
+    neg_org = -origin * inv_dir
+    finite = jnp.isfinite(inv_dir)
+    rays = (origin, direction, inv_dir, neg_org, finite,
+            last_hit_triangle)
+
+    izero = (origin[:, 0] * 0).astype(jnp.int32)
+    fzero = origin[:, 0] * 0
+
+    cur0 = izero                 # start at the root row
+    depth0 = izero
+    # derived from izero so the carry inherits shard_map varying axes
+    bases0 = jnp.zeros((n, depth_max), dtype=jnp.int32) + izero[:, None]
+    masks0 = jnp.zeros((n, depth_max), dtype=jnp.uint32) \
+        + izero[:, None].astype(jnp.uint32)
+    best_tri0 = izero - 1
+    best_d0 = fzero + jnp.inf
+    if best_limit is not None:
+        best_d0 = best_limit
+    if mask is not None:
+        cur0 = jnp.where(mask, cur0, -1)
+
+    body = _make_body(wide, rays)
+    state = (cur0, depth0, bases0, masks0, best_tri0, best_d0)
+
+    if not two_phase or n < MIN_TWO_PHASE:
+        state = jax.lax.while_loop(_any_active, body, state)
+        return state[4], state[5]
+
+    # --- phase 1: bounded full-batch sweep ---
+    def cond1(carry):
+        i, st = carry
+        return (i < PHASE1_ITERS) & _any_active(st)
+
+    def body1(carry):
+        i, st = carry
+        return i + 1, body(st)
+
+    _, state = jax.lax.while_loop(cond1, body1, (0, state))
+
+    # --- compact the surviving tail to the front (device-side) ---
+    active = state[0] >= 0
+    perm = jnp.argsort(jnp.where(active, 0, 1), stable=True)
+
+    def permute(tree):
+        return jax.tree_util.tree_map(lambda a: a[perm], tree)
+
+    rays_p = permute(rays)
+    state_p = permute(state)
+
+    m = n // COMPACT_DIVISOR
+    rays_s = jax.tree_util.tree_map(lambda a: a[:m], rays_p)
+    state_s = jax.tree_util.tree_map(lambda a: a[:m], state_p)
+
+    body_s = _make_body(wide, rays_s)
+    state_s = jax.lax.while_loop(_any_active, body_s, state_s)
+
+    state_p = jax.tree_util.tree_map(
+        lambda full, part: jax.lax.dynamic_update_slice_in_dim(
+            full, part, 0, axis=0),
+        state_p, state_s)
+
+    # --- fallback: rare actives beyond the compact slice ---
+    body_p = _make_body(wide, rays_p)
+    state_p = jax.lax.while_loop(_any_active, body_p, state_p)
+
+    # un-permute the results
+    best_tri = jnp.zeros(n, jnp.int32).at[perm].set(state_p[4])
+    best_d = jnp.zeros(n, jnp.float32).at[perm].set(state_p[5])
     return best_tri, best_d

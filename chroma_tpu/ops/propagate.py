@@ -27,7 +27,7 @@ from chroma_tpu.ops.photon import PhotonState, propagate_step
 from chroma_tpu.profiler import profiler
 
 # steps per jit launch between compaction checks
-DEFAULT_STEP_CHUNK = 16
+DEFAULT_STEP_CHUNK = 2
 MIN_BATCH = 256
 
 

@@ -190,29 +190,110 @@ class Camera(multiprocessing.Process):
         self.done.set()
 
 
+def color_solids(geometry, solid_hit, solid_colors):
+    """Per-triangle color array with hit solids recolored (host analog of
+    the color_solids kernel, reference: chroma/cuda/mesh.h:162-174)."""
+    colors = np.array(geometry.colors)
+    hit_of_tri = solid_hit[geometry.solid_id]
+    colors[hit_of_tri] = solid_colors[geometry.solid_id[hit_of_tri]]
+    return colors
+
+
 class EventViewer(Camera):
-    """Event display: colors hit PMT solids by charge or time on top of
-    the geometry view (reference: camera.py:753-1072, color_solids)."""
+    """Event display: steps through events from a reader/list, coloring
+    hit PMT solids by charge or time (reference: camera.py:753-1072).
+    PAGEUP/PAGEDOWN navigate events; C/T switch charge/time coloring."""
 
     def __init__(self, geometry, events, size=(800, 600), mode='charge',
                  **kwargs):
         super().__init__(geometry, size=size, **kwargs)
         self.events = list(events)
         self.mode = mode
+        self.event_index = 0
+
+    def event_colors(self, ev):
+        "Triangle color array for one event's channel readout."
+        if ev is None or ev.channels is None:
+            return np.asarray(self.geometry.colors)
+        return self.color_hit_channels(self.geometry, ev.channels)
 
     def color_hit_channels(self, geometry, channels):
         "Recolor each hit PMT's triangles by its charge (or time)."
         solid_ids = np.asarray(geometry.channel_index_to_solid_id)
         hit, t, q = channels.hit_channels()
-        values = q if self.mode == 'charge' else t
         if len(hit) == 0:
-            return geometry.colors
-        colors = np.array(geometry.colors)
+            return np.asarray(geometry.colors)
+        values = q if self.mode == 'charge' else t
         rgb = map_to_color(values)
-        solid_of_tri = geometry.solid_id
-        for channel, color in zip(hit, rgb):
-            colors[solid_of_tri == solid_ids[channel]] = color
-        return colors
+        nsolids = int(geometry.solid_id.max()) + 1
+        solid_hit = np.zeros(nsolids, dtype=bool)
+        solid_colors = np.zeros(nsolids, dtype=np.uint32)
+        solid_hit[solid_ids[hit]] = True
+        solid_colors[solid_ids[hit]] = rgb
+        return color_solids(geometry, solid_hit, solid_colors)
+
+    def run(self):
+        os.environ.setdefault('PYGAME_HIDE_SUPPORT_PROMPT', '1')
+        import pygame
+        from chroma_tpu.ops.types import build_geometry_arrays
+        import jax.numpy as jnp
+
+        pygame.init()
+        screen = pygame.display.set_mode(self.size)
+        pygame.display.set_caption('chroma_tpu event viewer')
+        clock = pygame.time.Clock()
+
+        ga = build_geometry_arrays(self.geometry)
+        lower, upper = self.geometry.mesh.get_bounds()
+        scale = float(np.linalg.norm(upper - lower))
+        center = (upper + lower) / 2.0
+        position = center - np.array([0.0, scale, 0.0])
+        origins, directions = from_film(position, size=self.size)
+        rays = Rays(origins, directions)
+
+        def load_event():
+            ev = self.events[self.event_index] if self.events else None
+            colors = self.event_colors(ev)
+            return ga.replace(colors=jnp.asarray(colors.astype(np.uint32)))
+
+        ga_ev = load_event()
+
+        def redraw():
+            pixels = np.asarray(rays.render(ga_ev, self.alpha_depth),
+                                dtype=np.uint32)
+            pygame.surfarray.blit_array(
+                screen,
+                pixels.reshape(self.size).astype(np.int64) & 0xFFFFFF)
+            pygame.display.flip()
+
+        redraw()
+        while not self.done.is_set():
+            for ev in pygame.event.get():
+                if ev.type == pygame.QUIT:
+                    self.done.set()
+                elif ev.type == pygame.KEYDOWN:
+                    if ev.key in (pygame.K_ESCAPE, pygame.K_q):
+                        self.done.set()
+                    elif ev.key == pygame.K_PAGEDOWN and self.events:
+                        self.event_index = (self.event_index + 1) \
+                            % len(self.events)
+                        ga_ev = load_event()
+                        redraw()
+                    elif ev.key == pygame.K_PAGEUP and self.events:
+                        self.event_index = (self.event_index - 1) \
+                            % len(self.events)
+                        ga_ev = load_event()
+                        redraw()
+                    elif ev.key == pygame.K_c:
+                        self.mode = 'charge'
+                        ga_ev = load_event()
+                        redraw()
+                    elif ev.key == pygame.K_t:
+                        self.mode = 'time'
+                        ga_ev = load_event()
+                        redraw()
+            clock.tick(20)
+        pygame.quit()
 
 
 def view(obj, size=(800, 600)):

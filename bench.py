@@ -75,17 +75,18 @@ def main():
     print('# detector: %d PMTs, %d triangles' %
           (nch, len(geo.mesh.triangles)), file=sys.stderr)
 
-    # warm (compiles every compaction bucket size)
-    res = propagate(photon_bomb(nphotons, 0), ga, jax.random.key(0),
-                    max_steps=100, step_chunk=2)
-    _ = np.asarray(res.flags)[:1]
+    # warm twice (covers the compaction bucket sizes and chunk lengths)
+    for w in (100, 101):
+        res = propagate(photon_bomb(nphotons, w), ga, jax.random.key(w),
+                        max_steps=100, step_chunk='auto')
+        _ = np.asarray(res.flags)[:1]
 
     best = float('inf')
     for rep in range(1, reps + 1):
         ps = photon_bomb(nphotons, rep)
         t0 = time.time()
         res = propagate(ps, ga, jax.random.key(rep), max_steps=100,
-                        step_chunk=2)
+                        step_chunk='auto')
         flags = np.asarray(res.flags)
         dt = time.time() - t0
         detected = int(((flags & np.uint32(event.SURFACE_DETECT)) > 0).sum())

@@ -146,8 +146,14 @@ def propagate(photons, geometry, key, max_steps=100, use_weights=False,
 
     step = 0
     current = photons
+    chunk = 2 if step_chunk == 'auto' else step_chunk
     while True:
-        nsteps = min(step_chunk, max_steps - step)
+        if step_chunk == 'auto':
+            # small chunks while the batch is large (compaction pays off
+            # fastest early), growing once the survivors are compacted so
+            # host syncs stop dominating
+            chunk = min(32, max(2, chunk * 2)) if step > 0 else 2
+        nsteps = min(chunk, max_steps - step)
         with profiler.region('propagate.chunk[n=%d]' % len(current)):
             current, _ = run_steps(current, geometry, key, step, nsteps,
                                    use_weights=use_weights,

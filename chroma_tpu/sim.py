@@ -46,9 +46,9 @@ class Simulation(object):
             detector = create_geometry_from_obj(detector)
         self.detector = detector
         self.photon_tracking = photon_tracking
-        # steps per launch between compaction checks; 2 measured optimal
-        # on the tunneled single-chip setup
-        self.step_chunk = int(compat_kwargs.pop('step_chunk', 2))
+        # steps per launch between compaction checks; 'auto' starts small
+        # (compaction pays off fastest early) and grows geometrically
+        self.step_chunk = compat_kwargs.pop('step_chunk', 'auto')
 
         if seed is None:
             seed = pick_seed()

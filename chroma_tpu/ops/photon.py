@@ -19,6 +19,7 @@ Physics preserved from the reference, checked by distribution-level tests:
 from __future__ import annotations
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +48,12 @@ from chroma_tpu.ops.types import (MAT_REFRACTIVE_INDEX,
 SPEED_OF_LIGHT = 299.792458  # mm/ns (reference: physical_constants.h)
 PI = math.pi
 WEIGHT_LOWER_THRESHOLD = 1e-4  # reference: photon.h:13
+
+# renormalize default-surface probabilities so they sum to one and no
+# photon silently PASSes; the reference injects this as an nvcc define
+# (reference: photon.h:15-17, 979-994; gpu/tools.py:23-38)
+FORCE_SCATTER_AT_PASS = bool(int(
+    os.environ.get('CHROMA_FORCE_SCATTER_AT_PASS', '0')))
 
 # step outcomes (reference: photon.h:70)
 BREAK, CONTINUE, PASS = 0, 1, 2
@@ -594,6 +601,18 @@ def propagate_at_default_surface(photons, state, key, sp,
     rdiff = sp[:, SURF_REFLECT_DIFFUSE]
     rspec = sp[:, SURF_REFLECT_SPECULAR]
 
+    if FORCE_SCATTER_AT_PASS:
+        # numerically enforce sum-to-one; residual goes to specular
+        # (reference: photon.h:980-994)
+        total = detect + absorb + rdiff + rspec
+        inv = 1.0 / jnp.where(total > 0, total, 1.0)
+        scale = jnp.where(total > 0, inv, 1.0)
+        detect = detect * scale
+        absorb = absorb * scale
+        rdiff = rdiff * scale
+        rspec = rspec * scale
+        rspec = rspec + (1.0 - (detect + absorb + rdiff + rspec))
+
     u = uniform(site_key(key, S_SURF), (n,))
     weight = photons.weight
 
@@ -618,6 +637,9 @@ def propagate_at_default_surface(photons, state, key, sp,
     diffuses = ~absorbs & ~detects & (u < absorb + detect + rdiff)
     speculars = (~absorbs & ~detects & ~diffuses
                  & (u < absorb + detect + rdiff + rspec))
+    if FORCE_SCATTER_AT_PASS:
+        # any rounding residual reflects specularly instead of passing
+        speculars = ~absorbs & ~detects & ~diffuses
     passes = ~absorbs & ~detects & ~diffuses & ~speculars
 
     absorbs = absorbs & ~forced_detect

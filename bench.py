@@ -32,7 +32,9 @@ def build_detector():
     spiral_step = float(os.environ.get('CHROMA_BENCH_SPIRAL_STEP', 400.0))
 
     det = demo.detector(pmt_radius, sphere_radius, spiral_step)
-    geo = create_geometry_from_obj(det)
+    # the device path only needs the wide BVH; skip the classic builder
+    # (expensive at tens of millions of triangles)
+    geo = create_geometry_from_obj(det, auto_build_bvh=False)
     return geo
 
 

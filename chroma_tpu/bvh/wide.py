@@ -131,8 +131,10 @@ def build_wide_bvh(mesh, fanout=FANOUT, leaf_size=LEAF_SIZE,
     leaf_rows[block, slot, 3:6] = tri[:, 1] - tri[:, 0]
     leaf_rows[block, slot, 6:9] = tri[:, 2] - tri[:, 0]
     leaf_rows[block, slot, 9] = tri_index.view(np.float32)
-    np.minimum.at(block_lo, block, tri_lo)
-    np.maximum.at(block_hi, block, tri_hi)
+    # groups are contiguous runs, so reduceat (fast) replaces ufunc.at
+    starts = first.astype(np.intp)
+    block_lo = np.minimum.reduceat(tri_lo, starts, axis=0)
+    block_hi = np.maximum.reduceat(tri_hi, starts, axis=0)
 
     # --- internal levels bottom-up ---
     levels = []  # list of (first_child_local, count, lo, hi), leaf-parents
@@ -142,11 +144,9 @@ def build_wide_bvh(mesh, fanout=FANOUT, leaf_size=LEAF_SIZE,
         first, count, child_codes = _prefix_groups(
             child_codes, fanout, target_mean=internal_target_mean)
         nparent = len(first)
-        lo = np.full((nparent, 3), np.inf, np.float32)
-        hi = np.full((nparent, 3), -np.inf, np.float32)
-        parent_of = np.repeat(np.arange(nparent), count)
-        np.minimum.at(lo, parent_of, child_lo)
-        np.maximum.at(hi, parent_of, child_hi)
+        starts = first.astype(np.intp)
+        lo = np.minimum.reduceat(child_lo, starts, axis=0)
+        hi = np.maximum.reduceat(child_hi, starts, axis=0)
         levels.append((first, count, lo, hi))
         child_lo, child_hi = lo, hi
         depth_guard += 1

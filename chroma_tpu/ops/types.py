@@ -426,7 +426,7 @@ def build_geometry_arrays(geometry, wavelengths=None, times=None,
     (reference: chroma/gpu/geometry.py:14-526)."""
     if not hasattr(geometry, 'mesh'):
         geometry.flatten()
-    if geometry.bvh is None:
+    if geometry.bvh is None and not use_wide_bvh:
         raise ValueError('geometry has no BVH; use '
                          'chroma_tpu.loader.create_geometry_from_obj')
 
@@ -439,7 +439,20 @@ def build_geometry_arrays(geometry, wavelengths=None, times=None,
                                          geometry.material2_index,
                                          geometry.surface_index)
 
-    dfs_nodes, escape = flatten_to_dfs(geometry.bvh)
+    # the classic layered BVH (+ its DFS re-layout) is only needed for
+    # the escape-pointer fallback traversal and format-compatible caching;
+    # at large scales it is skipped and only the wide BVH is built
+    if geometry.bvh is not None and (not use_wide_bvh
+                                     or len(geometry.mesh.triangles)
+                                     < 5_000_000):
+        dfs_nodes, escape = flatten_to_dfs(geometry.bvh)
+        wc_origin = geometry.bvh.world_coords.world_origin
+        wc_scale = geometry.bvh.world_coords.world_scale
+    else:
+        dfs_nodes = np.zeros((1, 4), dtype=np.uint32)
+        escape = np.ones(1, dtype=np.int32)
+        wc_origin = geometry.mesh.vertices.min(axis=0)
+        wc_scale = np.float32(1.0)
     wide = build_wide_bvh(geometry.mesh) if use_wide_bvh else None
 
     wireplanes = build_wireplane_arrays(
@@ -455,7 +468,6 @@ def build_geometry_arrays(geometry, wavelengths=None, times=None,
     tri_normals = (raw_normals
                    / np.where(lengths > 0, lengths, 1.0)).astype(np.float32)
 
-    wc = geometry.bvh.world_coords
     return GeometryArrays(
         vertices=jnp.asarray(geometry.mesh.vertices, dtype=jnp.float32),
         triangles=jnp.asarray(geometry.mesh.triangles, dtype=jnp.int32),
@@ -465,8 +477,8 @@ def build_geometry_arrays(geometry, wavelengths=None, times=None,
         solid_id=jnp.asarray(geometry.solid_id.astype(np.int32)),
         nodes=jnp.asarray(dfs_nodes),
         escape=jnp.asarray(escape),
-        world_origin=jnp.asarray(wc.world_origin, dtype=jnp.float32),
-        world_scale=jnp.asarray(wc.world_scale, dtype=jnp.float32),
+        world_origin=jnp.asarray(wc_origin, dtype=jnp.float32),
+        world_scale=jnp.asarray(wc_scale, dtype=jnp.float32),
         wide=wide,
         materials=build_material_tables(materials, wavelengths, times),
         surfaces=build_surface_tables(surfaces, wavelengths),

@@ -17,9 +17,7 @@ import os
 
 import numpy as np
 
-from chroma_tpu.log import logger
 from chroma_tpu.tools import from_film
-from chroma_tpu.transform import make_rotation_matrix
 from chroma_tpu.color import map_to_color
 
 

@@ -18,7 +18,6 @@ import numpy as np
 from chroma_tpu.detector import Detector
 from chroma_tpu.transform import make_rotation_matrix
 from chroma_tpu.geometry import Solid
-from chroma_tpu.log import logger
 from chroma_tpu.gdml import mesh_gen
 
 # unit scales to mm / radians

@@ -35,8 +35,7 @@ from chroma_tpu.geometry import (SURFACE_DEFAULT, SURFACE_COMPLEX,
                                  SURFACE_ANGULAR)
 from chroma_tpu.ops.linalg import dot, cross, norm, normalize, rotate
 from chroma_tpu.ops.mesh import intersect_mesh
-from chroma_tpu.ops.sample import (site_key, uniform, uniform_sphere,
-                                   sample_cdf_uniform_rows)
+from chroma_tpu.ops.sample import DrawPool, sample_cdf_uniform_rows
 from chroma_tpu.ops.types import (MAT_REFRACTIVE_INDEX,
                                   MAT_ABSORPTION_LENGTH,
                                   MAT_SCATTERING_LENGTH, SURF_DETECT,
@@ -58,12 +57,6 @@ FORCE_SCATTER_AT_PASS = bool(int(
 # step outcomes (reference: photon.h:70)
 BREAK, CONTINUE, PASS = 0, 1, 2
 
-# RNG draw sites within one step — each gets an independent substream
-(S_ABSORB, S_SCATTER, S_FORCE_SCATTER, S_COMP, S_REEMIT, S_REEMIT_WVL,
- S_REEMIT_TIME, S_REEMIT_DIR, S_REEMIT_POL, S_RAYLEIGH, S_BND_POLSEL,
- S_BND_REFLECT, S_SURF, S_SURF_B, S_DIFFUSE, S_DIFFUSE_POL, S_WLS,
- S_WLS_B, S_WLS_WVL, S_WLS_DIR, S_WLS_POL, S_DICHROIC, S_ANGULAR,
- S_COMPLEX, S_COMPLEX_B, S_COMPLEX_C) = range(26)
 
 
 @struct.dataclass
@@ -310,16 +303,15 @@ def pick_new_direction(axis, theta, phi):
     return jnp.stack([dirx, diry, dirz], axis=-1)
 
 
-def rayleigh_scatter(photons, key):
+def rayleigh_scatter(photons, pool):
     """Rayleigh scattering: (1+cos^2) angular law via the closed-form
     inverse CDF, polarization updated (reference: photon.h:429-453).
     Returns (dir, pol)."""
-    k1, k2 = jax.random.split(key)
-    u = uniform(k1, (len(photons),))
+    u = pool.draw()
     cos_theta = 2.0 * jnp.cos((jnp.arccos(1.0 - 2.0 * u) - 2.0 * PI) / 3.0)
     cos_theta = jnp.clip(cos_theta, -1.0, 1.0)
     theta = jnp.arccos(cos_theta)
-    phi = uniform(k2, (len(photons),), 0.0, 2.0 * PI)
+    phi = pool.draw(0.0, 2.0 * PI)
 
     new_dir = pick_new_direction(photons.pol, theta, phi)
 
@@ -331,19 +323,18 @@ def rayleigh_scatter(photons, key):
     return normalize(new_dir), normalize(new_pol)
 
 
-def _random_perpendicular_pol(key, direction):
+def _random_perpendicular_pol(pool, direction):
     "Polarization uniformly distributed perpendicular to `direction`."
-    r = uniform_sphere(key, (direction.shape[0],))
+    r = pool.uniform_sphere()
     return normalize(cross(r, direction))
 
 
-def cosine_hemisphere(key, normal):
+def cosine_hemisphere(pool, normal):
     """Cosine-weighted direction about `normal` — the closed-form
     equivalent of the reference's rejection loop
     (reference: photon.h:648-667)."""
-    k1, k2 = jax.random.split(key)
-    u1 = uniform(k1, (normal.shape[0],))
-    u2 = uniform(k2, (normal.shape[0],))
+    u1 = pool.draw()
+    u2 = pool.draw()
     z = jnp.sqrt(u1)
     r = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
     phi = 2.0 * PI * u2
@@ -366,7 +357,7 @@ def cosine_hemisphere(key, normal):
 # bulk transport
 # ---------------------------------------------------------------------------
 
-def propagate_to_boundary(photons, state, key, use_weights=False,
+def propagate_to_boundary(photons, state, pool, use_weights=False,
                           scatter_first=0, materials=None):
     """Transport each photon to its absorption/scattering point or the
     boundary (reference: photon.h:455-570).
@@ -381,10 +372,8 @@ def propagate_to_boundary(photons, state, key, use_weights=False,
     n = len(photons)
     d_bound = state.distance
 
-    absorption_distance = -state.absorption_length * jnp.log(
-        uniform(site_key(key, S_ABSORB), (n,)))
-    scattering_distance = -state.scattering_length * jnp.log(
-        uniform(site_key(key, S_SCATTER), (n,)))
+    absorption_distance = -state.absorption_length * jnp.log(pool.draw())
+    scattering_distance = -state.scattering_length * jnp.log(pool.draw())
 
     if use_weights:
         lane_weighted = photons.weight > WEIGHT_LOWER_THRESHOLD
@@ -395,7 +384,7 @@ def propagate_to_boundary(photons, state, key, use_weights=False,
 
     weight = photons.weight
     scatter_first = jnp.asarray(scatter_first, dtype=jnp.int32)
-    u_force = uniform(site_key(key, S_FORCE_SCATTER), (n,))
+    u_force = pool.draw()
 
     # force scatter: truncated exponential on [0, boundary]
     scatter_prob = 1.0 - jnp.exp(-d_bound / state.scattering_length)
@@ -438,7 +427,7 @@ def propagate_to_boundary(photons, state, key, use_weights=False,
              for c in range(maxc)], axis=1)                   # (N, maxc)
         cum = jnp.cumsum(state.absorption_length[:, None] / comp_abs,
                          axis=1)
-        u_comp = uniform(site_key(key, S_COMP), (n,))
+        u_comp = pool.draw()
         is_last = (jnp.arange(maxc)[None, :] == (num_comp - 1)[:, None])
         comp = jnp.argmax((u_comp[:, None] < cum) | is_last,
                           axis=1).astype(jnp.int32)
@@ -446,21 +435,19 @@ def propagate_to_boundary(photons, state, key, use_weights=False,
         reemit_prob = material_comp_property(m, m.comp_reemission_prob,
                                              state.material1, comp,
                                              photons.wavelength)
-        u_reemit = uniform(site_key(key, S_REEMIT), (n,))
+        u_reemit = pool.draw()
         reemits = absorbed & has_comp & (u_reemit < reemit_prob)
 
         comp_row = state.material1 * maxc + comp
         wvl_flat = m.comp_reemission_wvl_cdf.reshape(-1, m.n_wavelength)
         new_wavelength = sample_cdf_uniform_rows(
-            uniform(site_key(key, S_REEMIT_WVL), (n,)), wvl_flat, comp_row,
+            pool.draw(), wvl_flat, comp_row,
             m.wavelength0, m.wavelength_step)
         time_flat = m.comp_reemission_time_cdf.reshape(-1, m.n_time)
         reemit_dt = sample_cdf_uniform_rows(
-            uniform(site_key(key, S_REEMIT_TIME), (n,)), time_flat,
-            comp_row, m.time0, m.time_step)
-        reemit_dir = uniform_sphere(site_key(key, S_REEMIT_DIR), (n,))
-        reemit_pol = _random_perpendicular_pol(site_key(key, S_REEMIT_POL),
-                                               reemit_dir)
+            pool.draw(), time_flat, comp_row, m.time0, m.time_step)
+        reemit_dir = pool.uniform_sphere()
+        reemit_pol = _random_perpendicular_pol(pool, reemit_dir)
     else:
         reemits = jnp.zeros(n, dtype=bool)
         new_wavelength = photons.wavelength
@@ -469,7 +456,7 @@ def propagate_to_boundary(photons, state, key, use_weights=False,
         reemit_pol = photons.pol
 
     # --- scattered: Rayleigh ---
-    ray_dir, ray_pol = rayleigh_scatter(photons, site_key(key, S_RAYLEIGH))
+    ray_dir, ray_pol = rayleigh_scatter(photons, pool)
 
     # --- merge ---
     bulk_absorbed = absorbed & ~reemits
@@ -532,14 +519,14 @@ def _incident_geometry(photons, state):
     return incident_angle, refracted_angle, tir, ipn, s_fraction
 
 
-def propagate_at_boundary(photons, state, key):
+def propagate_at_boundary(photons, state, pool):
     """Polarized Fresnel reflect/refract at a plain dielectric boundary
     (reference: photon.h:572-632). Always CONTINUEs."""
     incident_angle, refracted_angle, tir, ipn, s_fraction = \
         _incident_geometry(photons, state)
     n = len(photons)
 
-    s_polarized = uniform(site_key(key, S_BND_POLSEL), (n,)) < s_fraction
+    s_polarized = pool.draw() < s_fraction
 
     sum_angle = incident_angle + refracted_angle
     diff_angle = incident_angle - refracted_angle
@@ -547,7 +534,7 @@ def propagate_at_boundary(photons, state, key):
     refl_p = jnp.tan(diff_angle) / jnp.tan(sum_angle)
     refl_coeff = jnp.where(s_polarized, refl_s, refl_p)
 
-    u = uniform(site_key(key, S_BND_REFLECT), (n,))
+    u = pool.draw()
     reflects = (u < refl_coeff * refl_coeff) | tir
 
     reflect_dir = rotate(state.normal, incident_angle, ipn)
@@ -574,23 +561,22 @@ def _specular_reflect(photons, state):
     return photons.replace(dir=new_dir, flags=flags)
 
 
-def _diffuse_reflect(photons, state, key):
+def _diffuse_reflect(photons, state, pool):
     "Lambertian reflection (reference: photon.h:648-667)."
-    k1, k2 = jax.random.split(key)
-    new_dir = cosine_hemisphere(k1, state.normal)
-    new_pol = _random_perpendicular_pol(k2, new_dir)
+    new_dir = cosine_hemisphere(pool, state.normal)
+    new_pol = _random_perpendicular_pol(pool, new_dir)
     flags = photons.flags | jnp.uint32(REFLECT_DIFFUSE)
     return photons.replace(dir=new_dir, pol=new_pol, flags=flags)
 
 
-def _reflect_either(photons, state, key, diffuse_mask):
+def _reflect_either(photons, state, pool, diffuse_mask):
     "Per-lane choice between diffuse and specular reflection."
     spec = _specular_reflect(photons, state)
-    diff = _diffuse_reflect(photons, state, key)
+    diff = _diffuse_reflect(photons, state, pool)
     return select(diffuse_mask, diff, spec)
 
 
-def propagate_at_default_surface(photons, state, key, sp,
+def propagate_at_default_surface(photons, state, pool, sp,
                                  use_weights=False):
     """Default surface: roulette over detect/absorb/diffuse/specular with
     PASS for any residual (reference: photon.h:967-1035). `sp` is the
@@ -613,7 +599,7 @@ def propagate_at_default_surface(photons, state, key, sp,
         rspec = rspec * scale
         rspec = rspec + (1.0 - (detect + absorb + rdiff + rspec))
 
-    u = uniform(site_key(key, S_SURF), (n,))
+    u = pool.draw()
     weight = photons.weight
 
     if use_weights:
@@ -651,8 +637,7 @@ def propagate_at_default_surface(photons, state, key, sp,
     if use_weights:
         weight = jnp.where(forced_detect, weight * detect, weight)
 
-    reflected = _reflect_either(photons, state, site_key(key, S_DIFFUSE),
-                                diffuses)
+    reflected = _reflect_either(photons, state, pool, diffuses)
     photons = select(diffuses | speculars, reflected, photons)
 
     flags = photons.flags
@@ -667,7 +652,7 @@ def propagate_at_default_surface(photons, state, key, sp,
     return photons, command
 
 
-def propagate_complex(photons, state, key, sp, thickness, transmissive,
+def propagate_complex(photons, state, pool, sp, thickness, transmissive,
                       use_weights=False):
     """Thin-film "complex" PMT surface model: multilayer interference with
     a complex-index film, from the RAT PMT optical model
@@ -748,9 +733,9 @@ def propagate_complex(photons, state, key, sp, thickness, transmissive,
     else:
         forced_detect = jnp.zeros(n, dtype=bool)
 
-    u = uniform(site_key(key, S_COMPLEX), (n,))
+    u = pool.draw()
     absorbs = (u < absorb) & ~forced_detect
-    u_det = uniform(site_key(key, S_COMPLEX_B), (n,))
+    u_det = pool.draw()
     detects = (absorbs & (u_det < detect)) | forced_detect
     absorbs = absorbs & ~detects
 
@@ -758,11 +743,10 @@ def propagate_complex(photons, state, key, sp, thickness, transmissive,
                 & ((u < absorb + reflect) | ~transmissive))
     transmits = ~absorbs & ~detects & ~reflects
 
-    u_refl = uniform(site_key(key, S_COMPLEX_C), (n,))
+    u_refl = pool.draw()
     diffuses = reflects & (u_refl < rdiff)
 
-    reflected = _reflect_either(photons, state, site_key(key, S_DIFFUSE),
-                                diffuses)
+    reflected = _reflect_either(photons, state, pool, diffuses)
     photons = select(reflects, reflected, photons)
 
     safe_refr = jnp.where(tir, 0.0, refracted_angle)
@@ -785,7 +769,7 @@ def propagate_complex(photons, state, key, sp, thickness, transmissive,
     return photons, command
 
 
-def propagate_at_wls(photons, state, key, sp, surfaces, wl0, wl_step,
+def propagate_at_wls(photons, state, pool, sp, surfaces, wl0, wl_step,
                      use_weights=False):
     """Wavelength-shifting surface: absorb & reemit at a shifted
     wavelength, or reflect, or transmit (reference: photon.h:829-874)."""
@@ -806,9 +790,9 @@ def propagate_at_wls(photons, state, key, sp, surfaces, wl0, wl_step,
         rspec = jnp.where(lane, rspec / survive, rspec)
         absorb = jnp.where(lane, 0.0, absorb)
 
-    u = uniform(site_key(key, S_WLS), (n,))
+    u = pool.draw()
     absorbs = u < absorb
-    u_reemit = uniform(site_key(key, S_WLS_B), (n,))
+    u_reemit = pool.draw()
     reemits = absorbs & (u_reemit < reemit)
     absorbs_dead = absorbs & ~reemits
     reflects = ~absorbs & (u < absorb + rspec + rdiff)
@@ -816,20 +800,19 @@ def propagate_at_wls(photons, state, key, sp, surfaces, wl0, wl_step,
 
     # reemission: new wavelength from the surface CDF, isotropic direction
     cdf_flat = surfaces.props[:, SURF_REEMISSION_CDF, :]
-    new_wl = sample_cdf_uniform_rows(
-        uniform(site_key(key, S_WLS_WVL), (n,)), cdf_flat, s, wl0, wl_step)
-    new_dir = uniform_sphere(site_key(key, S_WLS_DIR), (n,))
-    new_pol = _random_perpendicular_pol(site_key(key, S_WLS_POL), new_dir)
+    new_wl = sample_cdf_uniform_rows(pool.draw(), cdf_flat, s, wl0,
+                                     wl_step)
+    new_dir = pool.uniform_sphere()
+    new_pol = _random_perpendicular_pol(pool, new_dir)
     photons = select(reemits,
                      photons.replace(wavelength=new_wl, dir=new_dir,
                                      pol=new_pol),
                      photons)
 
     # reflection: specular vs diffuse in proportion
-    u_refl = uniform(site_key(key, S_DIFFUSE), (n,)) * (rspec + rdiff)
+    u_refl = pool.draw() * (rspec + rdiff)
     diffuses = reflects & (u_refl >= rspec)
-    reflected = _reflect_either(photons, state,
-                                site_key(key, S_DIFFUSE_POL), diffuses)
+    reflected = _reflect_either(photons, state, pool, diffuses)
     photons = select(reflects, reflected, photons)
 
     flags = photons.flags
@@ -858,7 +841,7 @@ def _interp_angle_rows(angles, nangles, row, x):
     return iidx, frac
 
 
-def propagate_at_dichroic(photons, state, key, geometry):
+def propagate_at_dichroic(photons, state, pool, geometry):
     """Dichroic filter: angle x wavelength reflect/transmit tables
     (reference: photon.h:877-907)."""
     n = len(photons)
@@ -889,7 +872,7 @@ def propagate_at_dichroic(photons, state, key, geometry):
     reflect_prob = r_lo + (r_hi - r_lo) * frac
     transmit_prob = t_lo + (t_hi - t_lo) * frac
 
-    u = uniform(site_key(key, S_DICHROIC), (n,))
+    u = pool.draw()
     reflects = u < reflect_prob
     transmits = ~reflects & (u < reflect_prob + transmit_prob)
     absorbs = ~reflects & ~transmits
@@ -907,7 +890,8 @@ def propagate_at_dichroic(photons, state, key, geometry):
     return photons, command
 
 
-def propagate_at_angular(photons, state, key, surfaces, use_weights=False):
+def propagate_at_angular(photons, state, pool, surfaces,
+                         use_weights=False):
     """Angular-table surface: transmit/reflect probabilities by incidence
     angle (reference: photon.h:909-951)."""
     n = len(photons)
@@ -941,15 +925,14 @@ def propagate_at_angular(photons, state, key, surfaces, use_weights=False):
         rdiff_prob = jnp.where(lane, rdiff_prob / survive, rdiff_prob)
         absorb_prob = jnp.where(lane, 0.0, absorb_prob)
 
-    u = uniform(site_key(key, S_ANGULAR), (n,))
+    u = pool.draw()
     absorbs = u < absorb_prob
     transmits = ~absorbs & (u < absorb_prob + transmit_prob)
     speculars = (~absorbs & ~transmits
                  & (u < absorb_prob + transmit_prob + rspec_prob))
     diffuses = ~absorbs & ~transmits & ~speculars
 
-    reflected = _reflect_either(photons, state, site_key(key, S_DIFFUSE),
-                                diffuses)
+    reflected = _reflect_either(photons, state, pool, diffuses)
     photons = select(speculars | diffuses, reflected, photons)
 
     flags = photons.flags
@@ -964,7 +947,8 @@ def propagate_at_angular(photons, state, key, surfaces, use_weights=False):
     return photons, command
 
 
-def propagate_at_surface(photons, state, key, geometry, use_weights=False):
+def propagate_at_surface(photons, state, pool, geometry,
+                         use_weights=False):
     """Dispatch over the five surface models (reference: photon.h:953-1037).
     All models are evaluated branchlessly; each lane keeps the result of
     its surface's model."""
@@ -988,20 +972,22 @@ def propagate_at_surface(photons, state, key, geometry, use_weights=False):
     out_cmd = jnp.full(len(photons), PASS, dtype=jnp.int32)
     if SURFACE_DEFAULT in present:
         out_ph, out_cmd = propagate_at_default_surface(
-            photons, state, key, sp, use_weights)
+            photons, state, pool, sp, use_weights)
     specials = []
     if SURFACE_COMPLEX in present:
         specials.append((SURFACE_COMPLEX, propagate_complex(
-            photons, state, key, sp, thickness, transmissive, use_weights)))
+            photons, state, pool, sp, thickness, transmissive,
+            use_weights)))
     if SURFACE_WLS in present:
         specials.append((SURFACE_WLS, propagate_at_wls(
-            photons, state, key, sp, surfaces, wl0, wl_step, use_weights)))
+            photons, state, pool, sp, surfaces, wl0, wl_step,
+            use_weights)))
     if SURFACE_DICHROIC in present:
         specials.append((SURFACE_DICHROIC, propagate_at_dichroic(
-            photons, state, key, geometry)))
+            photons, state, pool, geometry)))
     if SURFACE_ANGULAR in present:
         specials.append((SURFACE_ANGULAR, propagate_at_angular(
-            photons, state, key, surfaces, use_weights)))
+            photons, state, pool, surfaces, use_weights)))
     for model_id, (ph_m, cmd_m) in specials:
         is_m = model == model_id
         out_ph = select(is_m, ph_m, out_ph)
@@ -1038,25 +1024,25 @@ def propagate_step(photons, geometry, key, use_weights=False,
     photons, state = fill_state(photons, geometry, active)
     active = active & state.hit
 
-    # bulk transport
-    moved, cmd_bulk = propagate_to_boundary(photons, state,
-                                            site_key(key, 100), use_weights,
-                                            scatter_first, mats)
+    # bulk transport (one pooled RNG stream for the whole step)
+    pool = DrawPool(key, len(photons))
+    moved, cmd_bulk = propagate_to_boundary(photons, state, pool,
+                                            use_weights, scatter_first,
+                                            mats)
     photons = select(active, moved, photons)
     at_boundary = active & (cmd_bulk == PASS)
 
     # surface model where one is attached
     has_surface = state.surface != -1
     surf_lanes = at_boundary & has_surface
-    ph_surf, cmd_surf = propagate_at_surface(photons, state,
-                                             site_key(key, 200), geometry,
-                                             use_weights)
+    ph_surf, cmd_surf = propagate_at_surface(photons, state, pool,
+                                             geometry, use_weights)
     photons = select(surf_lanes, ph_surf, photons)
 
     # Fresnel at plain boundaries, and after surface PASS
     fresnel_lanes = at_boundary & (~has_surface
                                    | (has_surface & (cmd_surf == PASS)))
-    ph_fres = propagate_at_boundary(photons, state, site_key(key, 300))
+    ph_fres = propagate_at_boundary(photons, state, pool)
     photons = select(fresnel_lanes, ph_fres, photons)
 
     return photons

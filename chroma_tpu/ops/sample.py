@@ -77,3 +77,39 @@ def sample_cdf_uniform_rows(u, table, row_idx, x0, dx):
     dy = y_hi - y_lo
     frac = jnp.where(dy > 0, (u - y_lo) / jnp.where(dy > 0, dy, 1.0), 0.0)
     return x0 + dx * lower.astype(jnp.float32) + dx * frac
+
+
+class DrawPool(object):
+    """Pooled uniform draws for one propagation step.
+
+    The physics step consumes ~13 independent (N,) uniform streams; issuing
+    them as separate threefry calls costs ~14% of the step. The pool
+    generates draws in (block, N) batches on demand, so a whole step issues
+    ~2 PRNG kernels instead of ~13. Draw order is fixed at trace time
+    (python control flow), so results are reproducible per (seed, jit)."""
+
+    def __init__(self, key, n, block=8):
+        self.key = key
+        self.n = n
+        self.block = block
+        self._blocks = []
+        self._count = 0
+
+    def draw(self, low=0.0, high=1.0):
+        "One (N,) stream of U(low, high], like uniform()."
+        b, i = divmod(self._count, self.block)
+        if b >= len(self._blocks):
+            self._blocks.append(jax.random.uniform(
+                jax.random.fold_in(self.key, b), (self.block, self.n),
+                dtype=jnp.float32))
+        self._count += 1
+        u = self._blocks[b][i]
+        return high - u * (high - low)
+
+    def uniform_sphere(self):
+        "Isotropic unit vectors (N,3) from two pooled draws."
+        theta = self.draw(0.0, 2.0 * math.pi)
+        u = self.draw(-1.0, 1.0)
+        c = jnp.sqrt(jnp.maximum(1.0 - u * u, 0.0))
+        return jnp.stack([c * jnp.cos(theta), c * jnp.sin(theta), u],
+                         axis=-1)

@@ -33,6 +33,12 @@ FANOUT = 16
 LEAF_SIZE = 8
 MAX_DEPTH = 16
 
+# row-type tags for the instanced table (stored bitcast-i32 in the last
+# column of each row)
+TAG_INTERNAL = 0
+TAG_LEAF = 1
+TAG_INSTANCE = 2
+
 
 @struct.dataclass
 class WideBVH:
@@ -193,4 +199,356 @@ def build_wide_bvh(mesh, fanout=FANOUT, leaf_size=LEAF_SIZE,
         fanout=fanout,
         leaf_size=leaf_size,
         n_leaves=int(nblocks),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Instanced (TLAS/BLAS) wide BVH
+#
+# Real detectors are thousands of placements of a few unique meshes (PMTs).
+# Building one monolithic BVH over the flattened soup costs minutes at 10^7+
+# triangles and produces a multi-hundred-MB node table; measured on v5e,
+# random gathers run ~30% faster once the table fits under ~60 MB. The
+# two-level structure keeps ONE unified fat-row table (so traversal still
+# issues exactly one gather per visit): a TLAS over instance world-AABBs
+# whose leaf rows carry the world->local transform and the BLAS root of the
+# shared unique-mesh BVH. Rows are typed by a tag in the last column, so
+# sibling blocks can freely mix internal/leaf/instance children.
+#
+# Unique meshes are small, so their BVHs are built with a proper binned-SAH
+# builder (better trees than Morton-prefix clustering); very large unique
+# meshes fall back to the fast Morton build.
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class InstancedBVH:
+    # unified tagged row table, width = max(6F+2, 10K) + 1:
+    #   internal (tag 0): [lo*F, hi*F (6F), first_child_row i32, ...]
+    #   leaf     (tag 1): [(v0, e1, e2, local_tri i32) x K, ...] (local frame)
+    #   instance (tag 2): [R_world->local row-major (9), displacement (3),
+    #                      blas_root_row i32, tri_base i32, ...]
+    # last column: row tag (bitcast i32). Root is row 0.
+    rows: jnp.ndarray
+    max_depth: int = struct.field(pytree_node=False)
+    fanout: int = struct.field(pytree_node=False)
+    leaf_size: int = struct.field(pytree_node=False)
+    n_instances: int = struct.field(pytree_node=False)
+
+
+def _binary_sah_build(lo, hi, max_leaf, nbins=16):
+    """Binned-SAH binary BVH over primitive AABBs (host, numpy).
+
+    Returns dict(left, right, start, count, lo, hi, perm): children node ids
+    (-1 marks a leaf), leaf prim ranges into the permutation, node bounds.
+    """
+    P = len(lo)
+    cent = (lo + hi) * 0.5
+    perm = np.arange(P, dtype=np.int64)
+    L, R, S, C, NLo, NHi = [], [], [], [], [], []
+
+    def alloc():
+        L.append(-1)
+        R.append(-1)
+        S.append(0)
+        C.append(0)
+        NLo.append(None)
+        NHi.append(None)
+        return len(L) - 1
+
+    stack = [(0, P, alloc())]
+    while stack:
+        s, e, nid = stack.pop()
+        idx = perm[s:e]
+        plo = lo[idx]
+        phi = hi[idx]
+        NLo[nid] = plo.min(axis=0)
+        NHi[nid] = phi.max(axis=0)
+        n = e - s
+        if n <= max_leaf:
+            S[nid] = s
+            C[nid] = n
+            continue
+
+        c = cent[idx]
+        best_cost, best = np.inf, None
+        for ax in range(3):
+            cmin = c[:, ax].min()
+            cmax = c[:, ax].max()
+            if cmax <= cmin:
+                continue
+            scale = nbins * (1.0 - 1e-7) / (cmax - cmin)
+            b = ((c[:, ax] - cmin) * scale).astype(np.int64)
+            counts = np.bincount(b, minlength=nbins)
+            o = np.argsort(b, kind='stable')
+            occupied = counts > 0
+            starts = np.searchsorted(b[o], np.flatnonzero(occupied))
+            binlo = np.full((nbins, 3), np.inf, np.float32)
+            binhi = np.full((nbins, 3), -np.inf, np.float32)
+            binlo[occupied] = np.minimum.reduceat(plo[o], starts, axis=0)
+            binhi[occupied] = np.maximum.reduceat(phi[o], starts, axis=0)
+
+            l_lo = np.minimum.accumulate(binlo, axis=0)
+            l_hi = np.maximum.accumulate(binhi, axis=0)
+            r_lo = np.minimum.accumulate(binlo[::-1], axis=0)[::-1]
+            r_hi = np.maximum.accumulate(binhi[::-1], axis=0)[::-1]
+            nl = np.cumsum(counts)
+            nr = n - nl
+
+            def _area(alo, ahi):
+                d = np.maximum(ahi - alo, 0.0)
+                return d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] \
+                    + d[:, 2] * d[:, 0]
+
+            cost = (nl[:-1] * _area(l_lo[:-1], l_hi[:-1])
+                    + nr[:-1] * _area(r_lo[1:], r_hi[1:]))
+            cost = np.where((nl[:-1] == 0) | (nr[:-1] == 0), np.inf, cost)
+            i = int(np.argmin(cost))
+            if cost[i] < best_cost:
+                best_cost = float(cost[i])
+                best = (ax, cmin, scale, i)
+
+        if best is None:
+            mid = s + n // 2  # identical centroids: arbitrary halves
+        else:
+            ax, cmin, scale, i = best
+            b = ((c[:, ax] - cmin) * scale).astype(np.int64)
+            left_mask = b <= i
+            o = np.argsort(~left_mask, kind='stable')
+            perm[s:e] = idx[o]
+            mid = s + int(left_mask.sum())
+            if mid == s or mid == e:
+                mid = s + n // 2
+
+        lc = alloc()
+        rc = alloc()
+        L[nid] = lc
+        R[nid] = rc
+        stack.append((s, mid, lc))
+        stack.append((mid, e, rc))
+
+    return dict(left=np.asarray(L, np.int64), right=np.asarray(R, np.int64),
+                start=np.asarray(S, np.int64), count=np.asarray(C, np.int64),
+                lo=np.asarray(NLo, np.float32),
+                hi=np.asarray(NHi, np.float32), perm=perm)
+
+
+def _emit_wide_rows(bn, fanout, width, make_leaf_row):
+    """Collapse a binary SAH tree into tagged wide rows.
+
+    make_leaf_row(node_id) -> (width,) f32 row for a binary leaf (tagged by
+    the caller: triangle-leaf or instance row). Children of each wide node
+    are emitted as one contiguous block; the parent stores the block's first
+    row. Returns (rows, leaf_row_of_binary_leaf dict, max_push_depth).
+    """
+    left, right = bn['left'], bn['right']
+    blo, bhi = bn['lo'], bn['hi']
+    d = np.maximum(bhi - blo, 0.0)
+    areas = d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0]
+
+    rows = []
+    leaf_row_index = {}
+    max_push_depth = 0
+
+    def alloc_row():
+        rows.append(np.zeros(width, np.float32))
+        return len(rows) - 1
+
+    root = 0
+    if left[root] < 0:  # degenerate: the whole tree is one leaf
+        r = alloc_row()
+        rows[r] = make_leaf_row(root)
+        leaf_row_index[root] = r
+        return np.stack(rows), leaf_row_index, 0
+
+    queue = [(root, alloc_row(), 0)]  # (binary node, row index, depth)
+    while queue:
+        bid, rid, depth = queue.pop()
+        max_push_depth = max(max_push_depth, depth)
+        # collapse: expand the largest-area internal child until full
+        ch = [int(left[bid]), int(right[bid])]
+        while len(ch) < fanout:
+            bi, ba = -1, -1.0
+            for j, c in enumerate(ch):
+                if left[c] >= 0 and areas[c] > ba:
+                    ba, bi = float(areas[c]), j
+            if bi < 0:
+                break
+            c = ch.pop(bi)
+            ch.extend((int(left[c]), int(right[c])))
+
+        row = np.zeros(width, np.float32)
+        row[:6 * fanout] = np.nan
+        first = None
+        for j, c in enumerate(ch):
+            crid = alloc_row()
+            if first is None:
+                first = crid
+            for ax in range(3):
+                row[ax * fanout + j] = blo[c][ax]
+                row[(3 + ax) * fanout + j] = bhi[c][ax]
+            if left[c] >= 0:
+                queue.append((c, crid, depth + 1))
+            else:
+                rows[crid] = make_leaf_row(c)
+                leaf_row_index[c] = crid
+        row[6 * fanout] = np.int32(first).view(np.float32)
+        row[width - 1] = np.int32(TAG_INTERNAL).view(np.float32)
+        rows[rid] = row
+
+    return np.stack(rows), leaf_row_index, max_push_depth
+
+
+def _tri_leaf_row_maker(bn, tri, width, leaf_size):
+    "Leaf-row factory for triangle BLASes (local-frame, local tri ids)."
+    perm, start, count = bn['perm'], bn['start'], bn['count']
+
+    def make(node_id):
+        row = np.zeros(width, np.float32)
+        block = row[:10 * leaf_size].reshape(leaf_size, 10)
+        block[:, 9] = np.float32(np.int32(-1).view(np.float32))
+        ids = perm[start[node_id]:start[node_id] + count[node_id]]
+        t = tri[ids]
+        block[:len(ids), 0:3] = t[:, 0]
+        block[:len(ids), 3:6] = t[:, 1] - t[:, 0]
+        block[:len(ids), 6:9] = t[:, 2] - t[:, 0]
+        block[:len(ids), 9] = ids.astype(np.int32).view(np.float32)
+        row[width - 1] = np.int32(TAG_LEAF).view(np.float32)
+        return row
+
+    return make
+
+
+def _blas_rows(mesh, fanout, leaf_size, width, sah_threshold):
+    """Local-frame BLAS rows for one unique mesh.
+    Returns (rows (R,width) f32, max_push_depth)."""
+    vertices = mesh.vertices.astype(np.float32)
+    tri = vertices[mesh.triangles.astype(np.int64)]  # (T,3,3)
+    ntri = len(tri)
+
+    if ntri <= sah_threshold:
+        tri_lo = tri.min(axis=1)
+        tri_hi = tri.max(axis=1)
+        bn = _binary_sah_build(tri_lo, tri_hi, max_leaf=leaf_size)
+        rows, _, depth = _emit_wide_rows(
+            bn, fanout, width, _tri_leaf_row_maker(bn, tri, width,
+                                                   leaf_size))
+        return rows, depth
+
+    # very large unique mesh: fast Morton-leveled build, then tag the rows
+    w = build_wide_bvh(mesh, fanout=fanout, leaf_size=leaf_size)
+    src = np.asarray(w.rows)
+    rows = np.zeros((len(src), width), np.float32)
+    rows[:, :src.shape[1]] = src
+    rows[:w.leaf_base, width - 1] = np.int32(TAG_INTERNAL) \
+        .view(np.float32)
+    rows[w.leaf_base:, width - 1] = np.int32(TAG_LEAF).view(np.float32)
+    return rows, w.max_depth
+
+
+def build_instanced_bvh(instances, fanout=FANOUT, leaf_size=LEAF_SIZE,
+                        sah_threshold=200000):
+    """Build a two-level (TLAS/BLAS) tagged wide BVH.
+
+    instances: list of (mesh, rotation, displacement, tri_base) — the
+    placement maps local to world as x_w = rotation @ x_l + displacement
+    (as Geometry.flatten applies it), and tri_base is the solid's first
+    triangle index in the flattened soup. Non-rigid placements are baked
+    into a world-frame copy of the mesh. Meshes are shared by object
+    identity: N placements of one mesh share one BLAS.
+    """
+    width = max(6 * fanout + 2, 10 * leaf_size, 14) + 1
+    ident = np.identity(3, np.float32)
+
+    # resolve unique meshes, baking non-rigid placements
+    unique = []            # list of mesh
+    mesh_index = {}        # id(mesh) -> index into unique
+    inst = []              # (mesh_idx, rot_w2l (3,3), disp (3,), tri_base)
+    for mesh, rot, disp, tri_base in instances:
+        rot = ident if rot is None else np.asarray(rot, np.float32)
+        disp = np.zeros(3, np.float32) if disp is None \
+            else np.asarray(disp, np.float32)
+        rigid = np.allclose(rot @ rot.T, ident, atol=1e-4)
+        if not rigid:
+            from chroma_tpu.geometry import Mesh
+            mesh = Mesh(np.inner(mesh.vertices, rot) + disp,
+                        mesh.triangles, remove_duplicate_vertices=False,
+                        remove_null_triangles=False)
+            rot, disp = ident, np.zeros(3, np.float32)
+        key = id(mesh)
+        if key not in mesh_index:
+            mesh_index[key] = len(unique)
+            unique.append(mesh)
+        inst.append((mesh_index[key], rot.T.astype(np.float32),
+                     disp.astype(np.float32), int(tri_base)))
+
+    # per-unique-mesh BLAS (local frame)
+    blas = [_blas_rows(m, fanout, leaf_size, width, sah_threshold)
+            for m in unique]
+    local_lo = [m.vertices.min(axis=0).astype(np.float32) for m in unique]
+    local_hi = [m.vertices.max(axis=0).astype(np.float32) for m in unique]
+
+    # instance world AABBs: transform the 8 local corners
+    n_inst = len(inst)
+    ilo = np.empty((n_inst, 3), np.float32)
+    ihi = np.empty((n_inst, 3), np.float32)
+    for i, (mi, r_w2l, disp, _) in enumerate(inst):
+        lo, hi = local_lo[mi], local_hi[mi]
+        cs = np.array([(x, y, z) for x in (lo[0], hi[0])
+                       for y in (lo[1], hi[1])
+                       for z in (lo[2], hi[2])], np.float32)
+        wc = cs @ r_w2l + disp     # (Rᵀ)ᵀ = R: local->world
+        ilo[i] = wc.min(axis=0)
+        ihi[i] = wc.max(axis=0)
+
+    # TLAS over instances (one instance per binary leaf)
+    bn = _binary_sah_build(ilo, ihi, max_leaf=1)
+    perm = bn['perm']
+    inst_meta = []  # (row_index later, instance id)
+
+    def make_instance_row(node_id):
+        iid = int(perm[bn['start'][node_id]])
+        mi, r_w2l, disp, tri_base = inst[iid]
+        row = np.zeros(width, np.float32)
+        row[0:9] = r_w2l.reshape(-1)
+        row[9:12] = disp
+        row[12] = np.int32(mi).view(np.float32)   # patched to blas root
+        row[13] = np.int32(tri_base).view(np.float32)
+        row[width - 1] = np.int32(TAG_INSTANCE).view(np.float32)
+        return row
+
+    tlas_rows, leaf_row_index, tlas_depth = _emit_wide_rows(
+        bn, fanout, width, make_instance_row)
+    tlas_n = len(tlas_rows)
+
+    # concatenate [TLAS | BLAS_0 | BLAS_1 | ...], fixing pointers
+    offsets = np.cumsum([tlas_n] + [len(b[0]) for b in blas])[:-1] \
+        if blas else np.array([], np.int64)
+    all_rows = [tlas_rows]
+    for off, (rows, _d) in zip(offsets, blas):
+        rows = rows.copy()
+        tags = rows[:, width - 1].view(np.int32)
+        internal = tags == TAG_INTERNAL
+        ptr = rows[internal, 6 * fanout].view(np.int32) + np.int32(off)
+        rows[internal, 6 * fanout] = ptr.view(np.float32)
+        all_rows.append(rows)
+    table = np.concatenate(all_rows, axis=0)
+
+    # patch instance rows: mesh index -> absolute BLAS root row
+    tags = table[:, width - 1].view(np.int32)
+    inst_rows = np.flatnonzero(tags == TAG_INSTANCE)
+    mi_of = table[inst_rows, 12].view(np.int32)
+    table[inst_rows, 12] = offsets[mi_of].astype(np.int32) \
+        .view(np.float32)
+
+    # stack depth: TLAS pushes + instance slot + deepest BLAS pushes
+    blas_depth = max((d for _r, d in blas), default=0)
+    max_depth = tlas_depth + 1 + 1 + blas_depth + 1
+
+    return InstancedBVH(
+        rows=jnp.asarray(table),
+        max_depth=int(max_depth),
+        fanout=fanout,
+        leaf_size=leaf_size,
+        n_instances=n_inst,
     )

@@ -159,23 +159,20 @@ def _make_body(wide, rays):
         cur = jnp.where(will_descend, first_child + nearest, cur)
         depth = jnp.where(will_descend, depth + 1, depth)
 
-        # pop: walk the stack down to the next pending sibling
+        # pop: jump straight to the highest pending sibling group (one
+        # masked max + one dynamic-column read/write instead of a
+        # slot-by-slot walk, which unrolled quadratically)
         need = active & ~will_descend
-        for _ in range(depth_max + 1):
-            slot = depth - 1
-            pm = stack_get(masks, slot)
-            has = pm != jnp.uint32(0)
-            c2 = _ctz32(pm)
-            resume = need & (slot >= 0) & has
-            exhaust = need & (slot >= 0) & ~has
-            done = need & (slot < 0)
-
-            masks = stack_set(masks, slot,
-                              pm & (pm - jnp.uint32(1)), resume)
-            cur = jnp.where(resume, stack_get(bases, slot) + c2,
-                            jnp.where(done, -1, cur))
-            depth = jnp.where(exhaust, slot, depth)
-            need = exhaust
+        slots = jnp.arange(depth_max, dtype=jnp.int32)
+        pending = (masks != jnp.uint32(0)) & (slots[None, :]
+                                              < depth[:, None])
+        top = jnp.max(jnp.where(pending, slots[None, :], -1), axis=1)
+        found = need & (top >= 0)
+        pm = stack_get(masks, top)
+        masks = stack_set(masks, top, pm & (pm - jnp.uint32(1)), found)
+        cur = jnp.where(found, stack_get(bases, top) + _ctz32(pm),
+                        jnp.where(need & (top < 0), -1, cur))
+        depth = jnp.where(found, top + 1, depth)
 
         return cur, depth, bases, masks, best_tri, best_d
 
@@ -197,6 +194,11 @@ def intersect_mesh_wide(origin, direction, wide, last_hit_triangle=None,
 
     Returns (triangle (N,) i32, distance (N,) f32) with -1/+inf misses.
     """
+    from chroma_tpu.bvh.wide import InstancedBVH
+    if isinstance(wide, InstancedBVH):
+        return intersect_mesh_instanced(origin, direction, wide,
+                                        last_hit_triangle, mask,
+                                        best_limit, two_phase)
     n = origin.shape[0]
     depth_max = wide.max_depth
 
@@ -270,6 +272,269 @@ def intersect_mesh_wide(origin, direction, wide, last_hit_triangle=None,
     state_p = jax.lax.while_loop(_any_active, body_p, state_p)
 
     # un-permute the results
+    best_tri = jnp.zeros(n, jnp.int32).at[perm].set(state_p[4])
+    best_d = jnp.zeros(n, jnp.float32).at[perm].set(state_p[5])
+    return best_tri, best_d
+
+
+# ---------------------------------------------------------------------------
+# Instanced (TLAS/BLAS) traversal
+#
+# Same machine as above — one fat-row gather per visit, bitmask stack,
+# nearest-first descent, two-phase tail compaction — over the tagged
+# two-level table of chroma_tpu.bvh.wide.build_instanced_bvh. Rays carry a
+# second register set (the current instance's local frame); visiting an
+# instance row rotates the world ray into the local frame and jumps to the
+# shared BLAS root, and popping back above the instance's depth restores the
+# world registers. Hit distances are frame-invariant (placements are rigid),
+# so best-hit pruning works across instances, and triangle ids are
+# re-based to the flattened soup (instance tri_base + local index).
+# ---------------------------------------------------------------------------
+
+IBIG = 127  # d_inst sentinel: lane is in the world frame
+
+
+def _make_body_inst(inst, rays):
+    """Per-iteration visit function for the instanced table.
+    rays = (origin, direction, inv_dir, neg_org, finite, last_hit), all in
+    the WORLD frame; local-frame registers ride in the loop state."""
+    from chroma_tpu.bvh.wide import TAG_INTERNAL, TAG_LEAF, TAG_INSTANCE
+
+    origin, direction, inv_dir, neg_org, finite, last_hit = rays
+    n = origin.shape[0]
+    f = inst.fanout
+    k = inst.leaf_size
+    depth_max = inst.max_depth
+    width = inst.rows.shape[1]
+
+    def child_hitmask(rows, best_d, active, inv_l, neg_l, fin_l):
+        r = rows[:, :6 * f].reshape(n, 6, f)
+        lo = r[:, 0:3]
+        hi = r[:, 3:6]
+        t0 = lo * inv_l[:, :, None] + neg_l[:, :, None]
+        t1 = hi * inv_l[:, :, None] + neg_l[:, :, None]
+        tsmall = jnp.where(fin_l[:, :, None], jnp.minimum(t0, t1),
+                           -jnp.inf)
+        tbig = jnp.where(fin_l[:, :, None], jnp.maximum(t0, t1), jnp.inf)
+        tmin = jnp.maximum(jnp.max(tsmall, axis=1), 0.0)
+        tmax = jnp.min(tbig, axis=1)
+        valid = lo[:, 0] == lo[:, 0]
+        hit = ((tmin <= tmax) & (tmin <= best_d[:, None]) & valid
+               & active[:, None])
+        bits = jnp.where(hit, jnp.uint32(1), jnp.uint32(0)) \
+            << jnp.arange(f, dtype=jnp.uint32)[None, :]
+        hitmask = jnp.sum(bits, axis=1, dtype=jnp.uint32)
+        nearest = jnp.argmin(jnp.where(hit, tmin, jnp.inf),
+                             axis=1).astype(jnp.int32)
+        return hitmask, nearest
+
+    def leaf_update(rows, active, best_tri, best_d, o_l, d_l, tbase):
+        r = rows[:, :10 * k].reshape(n, k, 10)
+        v0 = r[:, :, 0:3]
+        e1 = r[:, :, 3:6]
+        e2 = r[:, :, 6:9]
+        tri_idx = jax.lax.bitcast_convert_type(r[:, :, 9], jnp.int32)
+        tri_global = tri_idx + tbase[:, None]
+
+        dirn = d_l[:, None, :]
+        h = jnp.cross(dirn, e2)
+        a = jnp.sum(e1 * h, axis=-1)
+        parallel = jnp.abs(a) <= FLT_EPSILON
+        finv = 1.0 / jnp.where(parallel, 1.0, a)
+        s = o_l[:, None, :] - v0
+        u = finv * jnp.sum(s * h, axis=-1)
+        q = jnp.cross(s, e1)
+        v = finv * jnp.sum(dirn * q, axis=-1)
+        t = finv * jnp.sum(e2 * q, axis=-1)
+
+        ok = (~parallel
+              & (u >= -EPSILON) & (u <= 1.0 + EPSILON)
+              & (v >= -EPSILON) & (u + v <= 1.0 + EPSILON)
+              & (t > EPSILON) & jnp.isfinite(t)
+              & (tri_idx >= 0)
+              & (tri_global != last_hit[:, None])
+              & active[:, None])
+        t = jnp.where(ok, t, jnp.inf)
+        tbest = jnp.min(t, axis=1)
+        at_min = t <= tbest[:, None]
+        tri_min = jnp.max(jnp.where(at_min & ok, tri_global, -1), axis=1)
+        closer = tbest < best_d
+        best_d = jnp.where(closer, tbest, best_d)
+        best_tri = jnp.where(closer, tri_min, best_tri)
+        return best_tri, best_d
+
+    def stack_get(arr, idx):
+        out = jnp.zeros(n, dtype=arr.dtype)
+        for d in range(depth_max):
+            out = jnp.where(idx == d, arr[:, d], out)
+        return out
+
+    def stack_set(arr, idx, value, pred):
+        cols = []
+        for d in range(depth_max):
+            sel = pred & (idx == d)
+            cols.append(jnp.where(sel, value, arr[:, d]))
+        return jnp.stack(cols, axis=1)
+
+    def body(state):
+        (cur, depth, bases, masks, best_tri, best_d,
+         o_l, d_l, inv_l, neg_l, fin_l, d_inst, tbase) = state
+        active = cur >= 0
+
+        rows = inst.rows[jnp.where(active, cur, 0)]  # the ONE gather
+        tag = jax.lax.bitcast_convert_type(rows[:, width - 1], jnp.int32)
+        internal = active & (tag == TAG_INTERNAL)
+        at_leaf = active & (tag == TAG_LEAF)
+        is_inst = active & (tag == TAG_INSTANCE)
+
+        hitmask, nearest = child_hitmask(rows, best_d, internal,
+                                         inv_l, neg_l, fin_l)
+        best_tri, best_d = leaf_update(rows, at_leaf, best_tri, best_d,
+                                       o_l, d_l, tbase)
+
+        first_child = jax.lax.bitcast_convert_type(rows[:, 6 * f],
+                                                   jnp.int32)
+
+        # instance entry: rotate the WORLD ray into the instance frame
+        rmat = rows[:, 0:9].reshape(n, 3, 3)
+        disp = rows[:, 9:12]
+        o_li = jnp.einsum('nij,nj->ni', rmat, origin - disp)
+        d_li = jnp.einsum('nij,nj->ni', rmat, direction)
+        inv_li = 1.0 / d_li
+        neg_li = -o_li * inv_li
+        fin_li = jnp.isfinite(inv_li)
+        sel = is_inst[:, None]
+        o_l = jnp.where(sel, o_li, o_l)
+        d_l = jnp.where(sel, d_li, d_l)
+        inv_l = jnp.where(sel, inv_li, inv_l)
+        neg_l = jnp.where(sel, neg_li, neg_l)
+        fin_l = jnp.where(sel, fin_li, fin_l)
+        d_inst = jnp.where(is_inst, depth, d_inst)
+        tbase = jnp.where(is_inst,
+                          jax.lax.bitcast_convert_type(rows[:, 13],
+                                                       jnp.int32), tbase)
+        blas_root = jax.lax.bitcast_convert_type(rows[:, 12], jnp.int32)
+
+        # descend: internal -> nearest hit child; instance -> BLAS root
+        desc_int = internal & (hitmask != 0)
+        will = desc_int | is_inst
+        rest = jnp.where(
+            desc_int,
+            hitmask & ~(jnp.uint32(1) << nearest.astype(jnp.uint32)),
+            jnp.uint32(0))
+        bases = stack_set(bases, depth,
+                          jnp.where(is_inst, blas_root, first_child), will)
+        masks = stack_set(masks, depth, rest, will)
+        cur = jnp.where(is_inst, blas_root,
+                        jnp.where(desc_int, first_child + nearest, cur))
+        depth = jnp.where(will, depth + 1, depth)
+
+        # pop: jump straight to the highest pending sibling group
+        need = active & ~will
+        slots = jnp.arange(depth_max, dtype=jnp.int32)
+        pending = (masks != jnp.uint32(0)) & (slots[None, :]
+                                              < depth[:, None])
+        top = jnp.max(jnp.where(pending, slots[None, :], -1), axis=1)
+        found = need & (top >= 0)
+        pm = stack_get(masks, top)
+        masks = stack_set(masks, top, pm & (pm - jnp.uint32(1)), found)
+        cur = jnp.where(found, stack_get(bases, top) + _ctz32(pm),
+                        jnp.where(need & (top < 0), -1, cur))
+        depth = jnp.where(found, top + 1, depth)
+
+        # leaving the instance: restore the world-frame registers
+        leaving = (d_inst != IBIG) & (depth <= d_inst)
+        ls = leaving[:, None]
+        o_l = jnp.where(ls, origin, o_l)
+        d_l = jnp.where(ls, direction, d_l)
+        inv_l = jnp.where(ls, inv_dir, inv_l)
+        neg_l = jnp.where(ls, neg_org, neg_l)
+        fin_l = jnp.where(ls, finite, fin_l)
+        tbase = jnp.where(leaving, 0, tbase)
+        d_inst = jnp.where(leaving, IBIG, d_inst)
+
+        return (cur, depth, bases, masks, best_tri, best_d,
+                o_l, d_l, inv_l, neg_l, fin_l, d_inst, tbase)
+
+    return body
+
+
+def intersect_mesh_instanced(origin, direction, inst,
+                             last_hit_triangle=None, mask=None,
+                             best_limit=None, two_phase=True):
+    """Nearest-triangle query against an InstancedBVH. Same contract as
+    intersect_mesh_wide; returned triangle ids index the flattened soup."""
+    n = origin.shape[0]
+    depth_max = inst.max_depth
+
+    if last_hit_triangle is None:
+        last_hit_triangle = jnp.full(n, -1, jnp.int32)
+
+    inv_dir = 1.0 / direction
+    neg_org = -origin * inv_dir
+    finite = jnp.isfinite(inv_dir)
+    rays = (origin, direction, inv_dir, neg_org, finite,
+            last_hit_triangle)
+
+    izero = (origin[:, 0] * 0).astype(jnp.int32)
+    fzero = origin[:, 0] * 0
+
+    cur0 = izero
+    depth0 = izero
+    bases0 = jnp.zeros((n, depth_max), dtype=jnp.int32) + izero[:, None]
+    masks0 = jnp.zeros((n, depth_max), dtype=jnp.uint32) \
+        + izero[:, None].astype(jnp.uint32)
+    best_tri0 = izero - 1
+    best_d0 = fzero + jnp.inf
+    if best_limit is not None:
+        best_d0 = best_limit
+    if mask is not None:
+        cur0 = jnp.where(mask, cur0, -1)
+
+    state = (cur0, depth0, bases0, masks0, best_tri0, best_d0,
+             origin, direction, inv_dir, neg_org, finite,
+             izero + IBIG, izero)
+
+    body = _make_body_inst(inst, rays)
+
+    if not two_phase or n < MIN_TWO_PHASE:
+        state = jax.lax.while_loop(_any_active, body, state)
+        return state[4], state[5]
+
+    def cond1(carry):
+        i, st = carry
+        return (i < PHASE1_ITERS) & _any_active(st)
+
+    def body1(carry):
+        i, st = carry
+        return i + 1, body(st)
+
+    _, state = jax.lax.while_loop(cond1, body1, (0, state))
+
+    active = state[0] >= 0
+    perm = jnp.argsort(jnp.where(active, 0, 1), stable=True)
+
+    def permute(tree):
+        return jax.tree_util.tree_map(lambda a: a[perm], tree)
+
+    rays_p = permute(rays)
+    state_p = permute(state)
+
+    m = n // COMPACT_DIVISOR
+    rays_s = jax.tree_util.tree_map(lambda a: a[:m], rays_p)
+    state_s = jax.tree_util.tree_map(lambda a: a[:m], state_p)
+
+    body_s = _make_body_inst(inst, rays_s)
+    state_s = jax.lax.while_loop(_any_active, body_s, state_s)
+
+    state_p = jax.tree_util.tree_map(
+        lambda full, part: jax.lax.dynamic_update_slice_in_dim(
+            full, part, 0, axis=0),
+        state_p, state_s)
+
+    body_p = _make_body_inst(inst, rays_p)
+    state_p = jax.lax.while_loop(_any_active, body_p, state_p)
+
     best_tri = jnp.zeros(n, jnp.int32).at[perm].set(state_p[4])
     best_d = jnp.zeros(n, jnp.float32).at[perm].set(state_p[5])
     return best_tri, best_d

@@ -23,13 +23,16 @@ through jit/shard_map unchanged and shard naturally.
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 from flax import struct
 
 from chroma_tpu.geometry import standard_wavelengths, standard_times
 from chroma_tpu.bvh.dfs import flatten_to_dfs
-from chroma_tpu.bvh.wide import build_wide_bvh, WideBVH
+from chroma_tpu.bvh.wide import (build_instanced_bvh,
+                                 build_wide_bvh, InstancedBVH, WideBVH)
 
 # property row indices in MaterialTables.props
 MAT_REFRACTIVE_INDEX = 0
@@ -163,8 +166,10 @@ class GeometryArrays:
     world_scale: jnp.ndarray     # () f32
 
     # wide implicit BVH — the hot-path acceleration structure
-    # (chroma_tpu.bvh.wide); None falls back to the DFS walk
-    wide: WideBVH | None
+    # (chroma_tpu.bvh.wide): instanced (TLAS/BLAS) when the
+    # geometry still carries its placed solids, else monolithic;
+    # None falls back to the DFS walk
+    wide: InstancedBVH | WideBVH | None
 
     materials: MaterialTables
     surfaces: SurfaceTables
@@ -420,10 +425,17 @@ def build_detector_arrays(detector):
 
 
 def build_geometry_arrays(geometry, wavelengths=None, times=None,
-                          use_wide_bvh=True):
+                          use_wide_bvh=True, use_instancing=True):
     """Marshal a flattened host Geometry/Detector (with .bvh set) into
     device arrays. This is the analog of GPUGeometry.__init__
-    (reference: chroma/gpu/geometry.py:14-526)."""
+    (reference: chroma/gpu/geometry.py:14-526).
+
+    When the geometry still carries its placed solids (anything built in
+    this process; cached geometries are stored flattened-only), the
+    acceleration structure is the two-level instanced wide BVH: solids
+    sharing a mesh object share one BLAS, so PMT arrays store their mesh
+    once. Set use_instancing=False (or CHROMA_NO_INSTANCING=1) to force
+    the monolithic wide BVH over the flattened soup."""
     if not hasattr(geometry, 'mesh'):
         geometry.flatten()
     if geometry.bvh is None and not use_wide_bvh:
@@ -453,7 +465,22 @@ def build_geometry_arrays(geometry, wavelengths=None, times=None,
         escape = np.ones(1, dtype=np.int32)
         wc_origin = geometry.mesh.vertices.min(axis=0)
         wc_scale = np.float32(1.0)
-    wide = build_wide_bvh(geometry.mesh) if use_wide_bvh else None
+    wide = None
+    if use_wide_bvh:
+        solids = getattr(geometry, 'solids', None) or []
+        n_solid_tris = sum(len(s.mesh.triangles) for s in solids)
+        if (use_instancing and solids
+                and not os.environ.get('CHROMA_NO_INSTANCING')
+                and n_solid_tris == len(geometry.mesh.triangles)):
+            tri_base = np.cumsum(
+                [0] + [len(s.mesh.triangles) for s in solids])
+            instances = [
+                (s.mesh, geometry.solid_rotations[i],
+                 geometry.solid_displacements[i], int(tri_base[i]))
+                for i, s in enumerate(solids)]
+            wide = build_instanced_bvh(instances)
+        else:
+            wide = build_wide_bvh(geometry.mesh)
 
     wireplanes = build_wireplane_arrays(
         getattr(geometry, 'wireplanes', None), material_lookup,

@@ -28,6 +28,8 @@ cross-checking reference implementation.
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -227,54 +229,16 @@ def intersect_mesh_wide(origin, direction, wide, last_hit_triangle=None,
     if mask is not None:
         cur0 = jnp.where(mask, cur0, -1)
 
-    body = _make_body(wide, rays)
     state = (cur0, depth0, bases0, masks0, best_tri0, best_d0)
 
     if not two_phase or n < MIN_TWO_PHASE:
+        body = _make_body(wide, rays)
         state = jax.lax.while_loop(_any_active, body, state)
         return state[4], state[5]
 
-    # --- phase 1: bounded full-batch sweep ---
-    def cond1(carry):
-        i, st = carry
-        return (i < PHASE1_ITERS) & _any_active(st)
-
-    def body1(carry):
-        i, st = carry
-        return i + 1, body(st)
-
-    _, state = jax.lax.while_loop(cond1, body1, (0, state))
-
-    # --- compact the surviving tail to the front (device-side) ---
-    active = state[0] >= 0
-    perm = jnp.argsort(jnp.where(active, 0, 1), stable=True)
-
-    def permute(tree):
-        return jax.tree_util.tree_map(lambda a: a[perm], tree)
-
-    rays_p = permute(rays)
-    state_p = permute(state)
-
-    m = n // COMPACT_DIVISOR
-    rays_s = jax.tree_util.tree_map(lambda a: a[:m], rays_p)
-    state_s = jax.tree_util.tree_map(lambda a: a[:m], state_p)
-
-    body_s = _make_body(wide, rays_s)
-    state_s = jax.lax.while_loop(_any_active, body_s, state_s)
-
-    state_p = jax.tree_util.tree_map(
-        lambda full, part: jax.lax.dynamic_update_slice_in_dim(
-            full, part, 0, axis=0),
-        state_p, state_s)
-
-    # --- fallback: rare actives beyond the compact slice ---
-    body_p = _make_body(wide, rays_p)
-    state_p = jax.lax.while_loop(_any_active, body_p, state_p)
-
-    # un-permute the results
-    best_tri = jnp.zeros(n, jnp.int32).at[perm].set(state_p[4])
-    best_d = jnp.zeros(n, jnp.float32).at[perm].set(state_p[5])
-    return best_tri, best_d
+    state = _staged_query(_make_body, wide, rays, state,
+                          _traversal_stages())
+    return state[4], state[5]
 
 
 # ---------------------------------------------------------------------------
@@ -495,15 +459,61 @@ def intersect_mesh_instanced(origin, direction, inst,
              origin, direction, inv_dir, neg_org, finite,
              izero + IBIG, izero)
 
-    body = _make_body_inst(inst, rays)
-
     if not two_phase or n < MIN_TWO_PHASE:
+        body = _make_body_inst(inst, rays)
         state = jax.lax.while_loop(_any_active, body, state)
         return state[4], state[5]
 
+    state = _staged_query(_make_body_inst, inst, rays, state,
+                          _traversal_stages())
+    return state[4], state[5]
+
+
+def _traversal_stages():
+    """Compaction pyramid: (bounded iterations, width divisor) per stage.
+    Traversal lengths are heavy-tailed (p50 ~11 visits, p99 ~25), so a
+    lockstep loop run to completion pays max-visits gathers for every
+    lane; each stage stops early and packs the surviving minority into a
+    static prefix slice (cumsum + scatter, no host sync) before
+    continuing. Tunable via CHROMA_TRAV_STAGES='14:2,8:4,8:4'."""
+    spec = os.environ.get('CHROMA_TRAV_STAGES')
+    if spec:
+        return tuple(tuple(int(x) for x in part.split(':'))
+                     for part in spec.split(','))
+    return ((PHASE1_ITERS, COMPACT_DIVISOR),)
+
+
+def _compact_perm(active):
+    """Stable front-packing permutation of the active lanes, as a
+    (dest, perm) pair: dest[i] is lane i's packed slot, perm[j] is the
+    source lane of slot j — so packing AND unpacking are both gathers.
+    O(N): two cumsums and one iota scatter (no sort)."""
+    act = active.astype(jnp.int32)
+    n_act = jnp.sum(act)
+    fwd = jnp.cumsum(act) - 1
+    bwd = n_act + jnp.cumsum(1 - act) - 1
+    dest = jnp.where(active, fwd, bwd)
+    perm = jnp.zeros_like(dest).at[dest].set(
+        jnp.arange(dest.shape[0], dtype=dest.dtype))
+    return dest, perm
+
+
+def _staged_query(body_factory, accel, rays, state, stages):
+    """Run a traversal to completion with a pyramid of bounded lockstep
+    phases, compacting survivors into a static prefix slice between
+    phases (all device-side). Returns the final state, lane-aligned with
+    the inputs."""
+    if not stages:
+        body = body_factory(accel, rays)
+        return jax.lax.while_loop(_any_active, body, state)
+
+    n = rays[0].shape[0]
+    iters, div = stages[0]
+    body = body_factory(accel, rays)
+
     def cond1(carry):
         i, st = carry
-        return (i < PHASE1_ITERS) & _any_active(st)
+        return (i < iters) & _any_active(st)
 
     def body1(carry):
         i, st = carry
@@ -511,8 +521,12 @@ def intersect_mesh_instanced(origin, direction, inst,
 
     _, state = jax.lax.while_loop(cond1, body1, (0, state))
 
-    active = state[0] >= 0
-    perm = jnp.argsort(jnp.where(active, 0, 1), stable=True)
+    m = n // div
+    if m < MIN_TWO_PHASE // COMPACT_DIVISOR:
+        body = body_factory(accel, rays)
+        return jax.lax.while_loop(_any_active, body, state)
+
+    dest, perm = _compact_perm(state[0] >= 0)
 
     def permute(tree):
         return jax.tree_util.tree_map(lambda a: a[perm], tree)
@@ -520,21 +534,21 @@ def intersect_mesh_instanced(origin, direction, inst,
     rays_p = permute(rays)
     state_p = permute(state)
 
-    m = n // COMPACT_DIVISOR
     rays_s = jax.tree_util.tree_map(lambda a: a[:m], rays_p)
     state_s = jax.tree_util.tree_map(lambda a: a[:m], state_p)
 
-    body_s = _make_body_inst(inst, rays_s)
-    state_s = jax.lax.while_loop(_any_active, body_s, state_s)
+    state_s = _staged_query(body_factory, accel, rays_s, state_s,
+                            stages[1:])
 
     state_p = jax.tree_util.tree_map(
         lambda full, part: jax.lax.dynamic_update_slice_in_dim(
             full, part, 0, axis=0),
         state_p, state_s)
 
-    body_p = _make_body_inst(inst, rays_p)
+    # overflow fallback: survivors beyond the slice (rare) finish at
+    # this stage's full width
+    body_p = body_factory(accel, rays_p)
     state_p = jax.lax.while_loop(_any_active, body_p, state_p)
 
-    best_tri = jnp.zeros(n, jnp.int32).at[perm].set(state_p[4])
-    best_d = jnp.zeros(n, jnp.float32).at[perm].set(state_p[5])
-    return best_tri, best_d
+    # un-permute back to the caller's lane order (also a gather)
+    return jax.tree_util.tree_map(lambda a: a[dest], state_p)

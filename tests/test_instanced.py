@@ -1,0 +1,105 @@
+"""Instanced (TLAS/BLAS) wide BVH: agreement with the monolithic
+structure, mesh sharing, non-rigid baking, and staged-compaction
+equivalence (reference has no instancing — parity target is the
+monolithic result)."""
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from chroma_tpu.geometry import Geometry, Solid, vacuum
+from chroma_tpu.demo.optics import water
+from chroma_tpu.make import box, sphere
+from chroma_tpu.transform import make_rotation_matrix
+from chroma_tpu.ops.types import build_geometry_arrays
+from chroma_tpu.ops.mesh_wide import intersect_mesh_wide
+from chroma_tpu.bvh.wide import InstancedBVH, WideBVH
+
+
+def _pmt_array_geometry(n=6):
+    "A shared box mesh placed n times inside a container sphere."
+    geo = Geometry(vacuum)
+    geo.add_solid(Solid(sphere(1200.0, nsteps=24), water, vacuum))
+    unit = Solid(box(120.0, 80.0, 60.0), water, water)
+    for i in range(n):
+        rot = make_rotation_matrix(0.5 * i, [0, 0, 1])
+        geo.add_solid(unit, rot, np.array([500.0 * np.cos(i),
+                                           500.0 * np.sin(i),
+                                           150.0 * (i - n / 2)]))
+    geo.flatten()
+    return geo
+
+
+def _random_rays(n, seed=0, extent=900.0):
+    rng = np.random.default_rng(seed)
+    o = rng.uniform(-extent, extent, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def test_instanced_matches_monolithic():
+    geo = _pmt_array_geometry()
+    ga_i = build_geometry_arrays(geo)
+    ga_m = build_geometry_arrays(geo, use_instancing=False)
+    assert isinstance(ga_i.wide, InstancedBVH)
+    assert isinstance(ga_m.wide, WideBVH)
+    # 6 placements share ONE BLAS: far fewer rows than the monolithic
+    assert ga_i.wide.n_instances == 7
+    assert ga_i.wide.rows.shape[0] < ga_m.wide.rows.shape[0]
+
+    o, d = _random_rays(2000)
+    t_i, d_i = intersect_mesh_wide(o, d, ga_i.wide)
+    t_m, d_m = intersect_mesh_wide(o, d, ga_m.wide)
+    t_i, t_m = np.asarray(t_i), np.asarray(t_m)
+    assert (t_i == t_m).all()
+    hit = t_m >= 0
+    assert np.allclose(np.asarray(d_i)[hit], np.asarray(d_m)[hit],
+                       rtol=1e-4, atol=1e-2)
+
+
+def test_instanced_last_hit_exclusion():
+    geo = _pmt_array_geometry()
+    ga = build_geometry_arrays(geo)
+    o, d = _random_rays(500, seed=3)
+    t1, _ = intersect_mesh_wide(o, d, ga.wide)
+    t2, _ = intersect_mesh_wide(o, d, ga.wide, last_hit_triangle=t1)
+    t1, t2 = np.asarray(t1), np.asarray(t2)
+    hit = t1 >= 0
+    assert not (t2[hit] == t1[hit]).any()
+
+
+def test_non_rigid_placement_is_baked():
+    "A scaled placement cannot share a local-frame BLAS; it gets baked."
+    geo = Geometry(vacuum)
+    unit = Solid(box(100.0, 100.0, 100.0), water, vacuum)
+    geo.add_solid(unit)
+    geo.add_solid(unit, rotation=2.0 * np.identity(3),
+                  displacement=np.array([400.0, 0.0, 0.0]))
+    geo.flatten()
+    ga_i = build_geometry_arrays(geo)
+    ga_m = build_geometry_arrays(geo, use_instancing=False)
+    o, d = _random_rays(1000, extent=500.0)
+    t_i, _ = intersect_mesh_wide(o, d, ga_i.wide)
+    t_m, _ = intersect_mesh_wide(o, d, ga_m.wide)
+    assert (np.asarray(t_i) == np.asarray(t_m)).all()
+
+
+def test_staged_compaction_equivalence():
+    "Multi-stage tail compaction returns identical hits (N > threshold)."
+    geo = _pmt_array_geometry()
+    ga = build_geometry_arrays(geo)
+    o, d = _random_rays(8192, seed=7)
+    ref = np.asarray(intersect_mesh_wide(o, d, ga.wide,
+                                         two_phase=False)[0])
+    old = os.environ.get('CHROMA_TRAV_STAGES')
+    try:
+        for spec in ('4:2,4:4,4:4', '28:4'):
+            os.environ['CHROMA_TRAV_STAGES'] = spec
+            got = np.asarray(intersect_mesh_wide(o, d, ga.wide)[0])
+            assert (got == ref).all(), spec
+    finally:
+        if old is None:
+            os.environ.pop('CHROMA_TRAV_STAGES', None)
+        else:
+            os.environ['CHROMA_TRAV_STAGES'] = old

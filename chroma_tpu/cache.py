@@ -112,7 +112,9 @@ class Cache(object):
         geo_file = self.get_geometry_filename(name)
         if not os.path.exists(geo_file):
             raise GeometryNotFoundError(name)
-        if os.path.exists(default_geo_file):
+        # lexists: a dangling symlink (target removed) must still be
+        # replaced, and os.path.exists would miss it
+        if os.path.lexists(default_geo_file):
             if os.path.islink(default_geo_file):
                 os.remove(default_geo_file)
             else:

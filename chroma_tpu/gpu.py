@@ -114,8 +114,22 @@ class GPUDaq(object):
         if nphotons is not None:
             state = jax.tree_util.tree_map(
                 lambda a: a[start_photon:start_photon + nphotons], state)
-        self._pending = daq_ops.run_daq(state, self.gpu_detector.arrays,
-                                        rng_states, ndaq=self.ndaq)
+            # decorrelate chunks: lane i of each chunk is a different photon
+            rng_states = jax.random.fold_in(rng_states, start_photon)
+        batch = daq_ops.run_daq(state, self.gpu_detector.arrays,
+                                rng_states, ndaq=self.ndaq)
+        # accumulate across acquire() calls within one begin/end cycle,
+        # like the reference's persistent atomicMin/Add/Or device arrays
+        # (reference: chroma/gpu/daq.py:61-79, cuda/daq.cu:73-75)
+        if self._pending is None:
+            self._pending = batch
+        else:
+            prev = self._pending
+            self._pending = daq_ops.ChannelArrays(
+                earliest_time=jax.numpy.minimum(prev.earliest_time,
+                                                batch.earliest_time),
+                charge=prev.charge + batch.charge,
+                histories=prev.histories | batch.histories)
         return self._pending
 
     def end_acquire(self):

@@ -28,13 +28,19 @@ def _load():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(['make', '-C', _CSRC], check=True,
-                           capture_output=True)
-        except Exception as e:  # no compiler / no make: numpy fallback
+    # always run make: it is a no-op when the library is current, rebuilds
+    # when geometry_kit.cpp is newer, and ensures the binary was compiled
+    # on THIS machine (-march=native output is not portable, so the .so is
+    # never committed)
+    try:
+        subprocess.run(['make', '-C', _CSRC], check=True,
+                       capture_output=True)
+    except Exception as e:  # no compiler / no make: numpy fallback
+        if not os.path.exists(_LIB_PATH):
             logger.info('native geometry kit unavailable (%s)' % e)
             return None
+        logger.info('native geometry kit rebuild failed (%s); '
+                    'using existing library' % e)
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError as e:

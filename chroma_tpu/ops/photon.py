@@ -213,7 +213,10 @@ def fill_state(photons, geometry, active):
         wp = intersect_wireplanes(photons.pos, photons.dir, geometry,
                                   active)
         best = jnp.where(hit, dist, jnp.float32(1e30))
-        use_analytic = wp.hit & (wp.distance + 1e-6 < best)
+        # surface-less wireplanes are ignored, like the reference's
+        # analytic_surface >= 0 gate (reference: photon.h:273-277)
+        use_analytic = wp.hit & (wp.surface >= 0) \
+            & (wp.distance + 1e-6 < best)
     else:
         wp = None
         use_analytic = jnp.zeros_like(hit)

@@ -28,7 +28,8 @@ def create_cuda_context(device=None):
 
 def get_rng_states(n, seed=1):
     "The TPU engine uses counter-based keys; returns the base key."
-    return jax.random.key(seed)
+    from chroma_tpu.ops.sample import make_key
+    return make_key(seed)
 
 
 class GPUGeometry(object):

@@ -54,6 +54,10 @@ WEIGHT_LOWER_THRESHOLD = 1e-4  # reference: photon.h:13
 FORCE_SCATTER_AT_PASS = bool(int(
     os.environ.get('CHROMA_FORCE_SCATTER_AT_PASS', '0')))
 
+# interaction-length traversal pruning (see propagate_step); set to 0 for
+# exact reference NO_HIT semantics in open geometries
+PRUNE_TRAVERSAL = bool(int(os.environ.get('CHROMA_PRUNE_TRAVERSAL', '1')))
+
 # step outcomes (reference: photon.h:70)
 BREAK, CONTINUE, PASS = 0, 1, 2
 
@@ -72,6 +76,10 @@ class PhotonState:
     flags: jnp.ndarray       # (N,) u32 history bits
     last_hit_triangle: jnp.ndarray  # (N,) i32
     evidx: jnp.ndarray       # (N,) u32
+    # current-medium index (-1 = unknown), maintained across steps so the
+    # next geometry query can be pruned by the sampled interaction length;
+    # None disables medium tracking (and with it traversal pruning)
+    cur_mat: jnp.ndarray = None  # (N,) i32 or None
 
     def __len__(self):
         return self.pos.shape[0]
@@ -93,6 +101,7 @@ class StepState:
     absorption_length: jnp.ndarray  # (N,) f32
     scattering_length: jnp.ndarray  # (N,) f32
     material1: jnp.ndarray          # (N,) i32
+    material2: jnp.ndarray          # (N,) i32
     surface: jnp.ndarray            # (N,) i32, -1 = plain boundary
     inside_to_outside: jnp.ndarray  # (N,) bool
 
@@ -189,11 +198,22 @@ def surface_property(surfaces, surf_idx, prop, wavelength, wl0, wl_step):
 # fill_state: geometry query + boundary material resolution
 # ---------------------------------------------------------------------------
 
-def fill_state(photons, geometry, active):
+def fill_state(photons, geometry, active, best_limit=None, pruned=None,
+               pre_props=None, mrows=None):
     """Find each photon's next boundary and resolve the optical context
     (reference: photon.h:87-397). Lanes not in `active` are skipped in the
     traversal. Returns (photons', StepState); photons' has NO_HIT flags and
-    last_hit_triangle updated."""
+    last_hit_triangle updated.
+
+    Traversal pruning (chroma_tpu.ops.propagate_step): `best_limit` bounds
+    the query by the lane's pre-sampled interaction distance; `pruned`
+    marks lanes whose limit is genuinely binding — a missed query there
+    means "no boundary before the bulk interaction", not NO_HIT, and the
+    returned distance equals the limit. `pre_props` carries the
+    current-medium (rindex, abslen, scatlen) rows those lanes' limits were
+    sampled from, which override the mesh-resolved medium so transport is
+    consistent with the pruned query. `mrows` is an optional precomputed
+    wavelength_lerp_rows(materials.props_wl, ...) to share the gather."""
     if geometry.wide is not None:
         from chroma_tpu.ops.mesh_wide import intersect_mesh_wide
         # per-query tail compaction (two_phase) wins 1.7x on realistic
@@ -202,11 +222,13 @@ def fill_state(photons, geometry, active):
         tri, dist = intersect_mesh_wide(photons.pos, photons.dir,
                                         geometry.wide,
                                         photons.last_hit_triangle,
-                                        mask=active)
+                                        mask=active, best_limit=best_limit)
     else:
         tri, dist = intersect_mesh(photons.pos, photons.dir, geometry,
                                    photons.last_hit_triangle, mask=active)
     hit = tri >= 0
+    if pruned is None:
+        pruned = jnp.zeros_like(hit)
 
     if geometry.has_wireplanes:
         from chroma_tpu.ops.wireplane import intersect_wireplanes
@@ -257,15 +279,28 @@ def fill_state(photons, geometry, active):
     # one fat-row gather yields every material's (rindex, abslen, scatlen)
     # at each photon's wavelength; per-lane material choice is then a
     # dense select
-    mrows = wavelength_lerp_rows(mats.props_wl, photons.wavelength,
-                                 mats.wavelength0, mats.wavelength_step)
+    if mrows is None:
+        mrows = wavelength_lerp_rows(mats.props_wl, photons.wavelength,
+                                     mats.wavelength0, mats.wavelength_step)
     m1p = select_rows(mrows, mat1)                 # (N,3)
     rindex1 = m1p[:, MAT_REFRACTIVE_INDEX]
     abslen = m1p[:, MAT_ABSORPTION_LENGTH]
     scatlen = m1p[:, MAT_SCATTERING_LENGTH]
     rindex2 = select_rows(mrows[:, :, MAT_REFRACTIVE_INDEX], mat2)
 
-    no_hit_now = active & ~any_hit
+    if pre_props is not None:
+        # lanes with a tracked medium keep the properties their interaction
+        # distances were sampled from (identical for watertight geometry);
+        # pre_props = ((N,) rindex, (N,) abslen, (N,) scatlen)
+        known = photons.cur_mat >= 0
+        rindex1 = jnp.where(known, pre_props[0], rindex1)
+        abslen = jnp.where(known, pre_props[1], abslen)
+        scatlen = jnp.where(known, pre_props[2], scatlen)
+        mat1 = jnp.where(known, photons.cur_mat, mat1)
+
+    # a pruned miss is NOT an escape: the bulk interaction (at the limit
+    # distance the traversal returned) comes first
+    no_hit_now = active & ~any_hit & ~pruned
     flags = photons.flags | jnp.where(no_hit_now, jnp.uint32(NO_HIT),
                                       jnp.uint32(0))
     last_hit = jnp.where(active,
@@ -274,10 +309,10 @@ def fill_state(photons, geometry, active):
                          photons.last_hit_triangle)
     photons = photons.replace(flags=flags, last_hit_triangle=last_hit)
 
-    state = StepState(hit=active & any_hit, distance=dist, normal=normal,
-                      rindex1=rindex1, rindex2=rindex2,
+    state = StepState(hit=active & (any_hit | pruned), distance=dist,
+                      normal=normal, rindex1=rindex1, rindex2=rindex2,
                       absorption_length=abslen, scattering_length=scatlen,
-                      material1=mat1, surface=surf,
+                      material1=mat1, material2=mat2, surface=surf,
                       inside_to_outside=inside_to_outside)
     return photons, state
 
@@ -361,7 +396,8 @@ def cosine_hemisphere(pool, normal):
 # ---------------------------------------------------------------------------
 
 def propagate_to_boundary(photons, state, pool, use_weights=False,
-                          scatter_first=0, materials=None):
+                          scatter_first=0, materials=None, u_abs=None,
+                          u_scat=None):
     """Transport each photon to its absorption/scattering point or the
     boundary (reference: photon.h:455-570).
 
@@ -375,8 +411,14 @@ def propagate_to_boundary(photons, state, pool, use_weights=False,
     n = len(photons)
     d_bound = state.distance
 
-    absorption_distance = -state.absorption_length * jnp.log(pool.draw())
-    scattering_distance = -state.scattering_length * jnp.log(pool.draw())
+    # the uniforms may be pre-drawn by propagate_step so the traversal can
+    # be pruned by the same sampled distances
+    if u_abs is None:
+        u_abs = pool.draw()
+    if u_scat is None:
+        u_scat = pool.draw()
+    absorption_distance = -state.absorption_length * jnp.log(u_abs)
+    scattering_distance = -state.scattering_length * jnp.log(u_scat)
 
     if use_weights:
         lane_weighted = photons.weight > WEIGHT_LOWER_THRESHOLD
@@ -1003,12 +1045,20 @@ def propagate_at_surface(photons, state, pool, geometry,
 # ---------------------------------------------------------------------------
 
 def propagate_step(photons, geometry, key, use_weights=False,
-                   scatter_first=0):
+                   scatter_first=0, prune=True):
     """One propagation step for the whole batch — the vectorized equivalent
     of one iteration of the per-thread loop in the propagate kernel
     (reference: chroma/cuda/propagate.cu:300-338).
 
     Returns photons'; termination is recorded in the history flags.
+
+    `prune` (static) enables interaction-length traversal pruning: the
+    absorption/scattering uniforms are drawn BEFORE the geometry query and,
+    for lanes whose current medium is tracked (photons.cur_mat >= 0), the
+    sampled interaction distance bounds the BVH traversal — boundaries
+    beyond the point where the photon scatters or is absorbed are never
+    searched for. Disabled under use_weights/scatter_first biasing, whose
+    weight factors need the true boundary distance.
     """
     mats = geometry.materials
     alive = photons.alive
@@ -1023,15 +1073,46 @@ def propagate_step(photons, geometry, key, use_weights=False,
     photons = photons.replace(flags=flags)
     active = alive & ~nan_abort
 
+    pool = DrawPool(key, len(photons))
+    u_abs = pool.draw()
+    u_scat = pool.draw()
+
+    prune = (prune and not use_weights and photons.cur_mat is not None
+             and geometry.wide is not None and PRUNE_TRAVERSAL)
+    mrows = wavelength_lerp_rows(mats.props_wl, photons.wavelength,
+                                 mats.wavelength0, mats.wavelength_step)
+    if prune:
+        known = active & (photons.cur_mat >= 0)
+        safe_mat = jnp.maximum(photons.cur_mat, 0)
+        # column-wise selects: (N,) streams, no (N, 3) padding waste
+        pre_props = tuple(
+            select_rows(mrows[:, :, p], safe_mat)
+            for p in (MAT_REFRACTIVE_INDEX, MAT_ABSORPTION_LENGTH,
+                      MAT_SCATTERING_LENGTH))
+        pre_abs = -pre_props[1] * jnp.log(u_abs)
+        pre_scat = -pre_props[2] * jnp.log(u_scat)
+        interaction = jnp.minimum(pre_abs, pre_scat)
+        # near-vacuum media never interact in practice; leave those lanes
+        # unpruned so a genuine escape still reads as NO_HIT
+        pruned = known & (interaction < jnp.float32(1e20))
+        limit = jnp.where(pruned, interaction * jnp.float32(1.0 + 1e-4),
+                          jnp.inf)
+    else:
+        pre_props = None
+        pruned = None
+        limit = None
+
     # geometry query; photons with no boundary get NO_HIT and terminate
-    photons, state = fill_state(photons, geometry, active)
+    photons, state = fill_state(photons, geometry, active,
+                                best_limit=limit, pruned=pruned,
+                                pre_props=pre_props, mrows=mrows)
     active = active & state.hit
 
     # bulk transport (one pooled RNG stream for the whole step)
-    pool = DrawPool(key, len(photons))
     moved, cmd_bulk = propagate_to_boundary(photons, state, pool,
                                             use_weights, scatter_first,
-                                            mats)
+                                            mats, u_abs=u_abs,
+                                            u_scat=u_scat)
     photons = select(active, moved, photons)
     at_boundary = active & (cmd_bulk == PASS)
 
@@ -1047,5 +1128,15 @@ def propagate_step(photons, geometry, key, use_weights=False,
                                    | (has_surface & (cmd_surf == PASS)))
     ph_fres = propagate_at_boundary(photons, state, pool)
     photons = select(fresnel_lanes, ph_fres, photons)
+
+    if photons.cur_mat is not None:
+        # medium tracking: a photon that ended the step heading through the
+        # boundary plane is now in material2; everything else (reflected,
+        # scattered, reemitted, still in flight) stays in material1. The
+        # normal faces the incoming photon, so "through" = dir . normal < 0.
+        crossed = at_boundary & (dot(photons.dir, state.normal) < 0.0)
+        mat_now = jnp.where(crossed, state.material2, state.material1)
+        cur_mat = jnp.where(active, mat_now, photons.cur_mat)
+        photons = photons.replace(cur_mat=cur_mat)
 
     return photons

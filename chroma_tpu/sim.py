@@ -54,7 +54,8 @@ class Simulation(object):
             seed = pick_seed()
         self.seed = seed
         np.random.seed(self.seed)
-        self._key = jax.random.key(self.seed)
+        from chroma_tpu.ops.sample import make_key
+        self._key = make_key(self.seed)
 
         self.gpu_geometry = build_geometry_arrays(detector, wavelengths,
                                                   times)

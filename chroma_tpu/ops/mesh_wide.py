@@ -42,6 +42,24 @@ PHASE1_ITERS = 28
 COMPACT_DIVISOR = 4
 MIN_TWO_PHASE = 4096
 
+# visits per while_loop iteration: >1 amortizes the measured ~2 ms
+# per-iteration loop overhead at 1M lanes and lets XLA fuse across
+# visits, at the cost of up to (unroll-1) wasted visits per lane
+TRAV_UNROLL = int(os.environ.get('CHROMA_TRAV_UNROLL', '2'))
+
+
+def _unrolled(body, unroll=None):
+    "Compose `body` with itself `unroll` times (visit-loop unrolling)."
+    unroll = TRAV_UNROLL if unroll is None else unroll
+    if unroll <= 1:
+        return body
+
+    def run(state):
+        for _ in range(unroll):
+            state = body(state)
+        return state
+    return run
+
 
 def _ctz32(m):
     "Index of the lowest set bit of a uint32 (32 for m == 0)."
@@ -49,6 +67,146 @@ def _ctz32(m):
     return jnp.where(
         m == 0, 32,
         jax.lax.population_count(low - jnp.uint32(1)).astype(jnp.int32))
+
+
+def _child_sweep(gT, f, ray_cols, best_d, active):
+    """Slab test of all F children of a fetched node row, in column form:
+    every operand is a fully lane-packed (N,) vector (the (N, 3, F)
+    formulation left the 128-lane VPU at ~5% utilization and dominated
+    the visit cost). gT is the transposed row block (W, N), so a column
+    of the table is a contiguous (N,) row here. The sweep runs as a
+    lax.fori_loop — a static unroll of F copies of this body inside the
+    traversal while_loop was more than the TPU compiler could digest.
+    Returns (hit bitmask (N,) u32, nearest hit child (N,) i32)."""
+    (ix, iy, iz), (nx, ny, nz), (fx, fy, fz) = ray_cols
+    neg_inf = jnp.float32(-jnp.inf)
+    pos_inf = jnp.float32(jnp.inf)
+
+    def body(c, carry):
+        hitmask, nearest, tnear = carry
+        def col(k):
+            return jax.lax.dynamic_slice_in_dim(gT, c + k * f, 1,
+                                                axis=0)[0]
+        lox, loy, loz = col(0), col(1), col(2)
+        hix, hiy, hiz = col(3), col(4), col(5)
+        t0x = lox * ix + nx
+        t1x = hix * ix + nx
+        t0y = loy * iy + ny
+        t1y = hiy * iy + ny
+        t0z = loz * iz + nz
+        t1z = hiz * iz + nz
+        # axes with an infinite inv_dir contribute (-inf, +inf), exactly
+        # as the reference slab test
+        smx = jnp.where(fx, jnp.minimum(t0x, t1x), neg_inf)
+        bgx = jnp.where(fx, jnp.maximum(t0x, t1x), pos_inf)
+        smy = jnp.where(fy, jnp.minimum(t0y, t1y), neg_inf)
+        bgy = jnp.where(fy, jnp.maximum(t0y, t1y), pos_inf)
+        smz = jnp.where(fz, jnp.minimum(t0z, t1z), neg_inf)
+        bgz = jnp.where(fz, jnp.maximum(t0z, t1z), pos_inf)
+        tmin = jnp.maximum(jnp.maximum(smx, smy),
+                           jnp.maximum(smz, 0.0))
+        tmax = jnp.minimum(jnp.minimum(bgx, bgy), bgz)
+        # padding children carry NaN bounds; the comparisons below are
+        # all False for NaN so they are rejected implicitly
+        hit = (tmin <= tmax) & (tmin <= best_d) & active
+        hitmask = hitmask | jnp.where(hit,
+                                      jnp.uint32(1) << c.astype(jnp.uint32),
+                                      jnp.uint32(0))
+        # descend nearest-first: maximizes early pruning of the rest
+        better = hit & (tmin < tnear)
+        tnear = jnp.where(better, tmin, tnear)
+        nearest = jnp.where(better, c, nearest)
+        return hitmask, nearest, tnear
+
+    hitmask0 = jnp.zeros_like(best_d, dtype=jnp.uint32)
+    nearest0 = jnp.zeros_like(best_d, dtype=jnp.int32)
+    tnear0 = jnp.full_like(best_d, jnp.inf)
+    hitmask, nearest, _ = jax.lax.fori_loop(
+        0, f, body, (hitmask0, nearest0, tnear0))
+    return hitmask, nearest
+
+
+def _leaf_sweep(gT, k, origin_cols, dir_cols, last_hit, active, best_tri,
+                best_d, tri_base=None):
+    """Moller-Trumbore over all K triangles of a leaf row, in column form
+    ((N,) vectors only, fori_loop — same rationale as _child_sweep).
+    tri_base optionally re-bases triangle ids (instanced BLAS leaves)."""
+    ox, oy, oz = origin_cols
+    dx, dy, dz = dir_cols
+
+    def body(ti, carry):
+        best_tri, best_d = carry
+        blk = jax.lax.dynamic_slice_in_dim(gT, 10 * ti, 10, axis=0)
+        v0x, v0y, v0z = blk[0], blk[1], blk[2]
+        e1x, e1y, e1z = blk[3], blk[4], blk[5]
+        e2x, e2y, e2z = blk[6], blk[7], blk[8]
+        tri = jax.lax.bitcast_convert_type(blk[9], jnp.int32)
+        tri_g = tri if tri_base is None else tri + tri_base
+        hx = dy * e2z - dz * e2y
+        hy = dz * e2x - dx * e2z
+        hz = dx * e2y - dy * e2x
+        a = e1x * hx + e1y * hy + e1z * hz
+        parallel = jnp.abs(a) <= FLT_EPSILON
+        finv = 1.0 / jnp.where(parallel, 1.0, a)
+        sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+        u = finv * (sx * hx + sy * hy + sz * hz)
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = finv * (dx * qx + dy * qy + dz * qz)
+        t = finv * (e2x * qx + e2y * qy + e2z * qz)
+        ok = (~parallel
+              & (u >= -EPSILON) & (u <= 1.0 + EPSILON)
+              & (v >= -EPSILON) & (u + v <= 1.0 + EPSILON)
+              & (t > EPSILON) & jnp.isfinite(t)
+              & (tri >= 0)
+              & (tri_g != last_hit)
+              & active)
+        closer = ok & (t < best_d)
+        best_d = jnp.where(closer, t, best_d)
+        best_tri = jnp.where(closer, tri_g, best_tri)
+        return best_tri, best_d
+
+    return jax.lax.fori_loop(0, k, body, (best_tri, best_d))
+
+
+def _ray_cols(origin, direction, inv_dir, neg_org, finite):
+    "Split the (N,3) ray registers into lane-packed (N,) columns."
+    inv = (inv_dir[:, 0], inv_dir[:, 1], inv_dir[:, 2])
+    neg = (neg_org[:, 0], neg_org[:, 1], neg_org[:, 2])
+    fin = (finite[:, 0], finite[:, 1], finite[:, 2])
+    org = (origin[:, 0], origin[:, 1], origin[:, 2])
+    dcol = (direction[:, 0], direction[:, 1], direction[:, 2])
+    return org, dcol, inv, neg, fin
+
+
+# The traversal stacks are carried DEPTH-MAJOR, (D, N): with N on the lane
+# axis every per-slot op below is a fully packed (N,) vector op, and the
+# physical carry is 8x smaller than the lane-padded (N, D) layout —
+# measured ~1.5 ms/iteration of loop-carry cost at N=1M for a (N, 9) pair
+# vs ~zero for (9, N).
+
+def _stack_get(arr, idx, depth_max):
+    "arr[idx[lane], lane] via a static unroll over the (few) slots."
+    out = jnp.zeros(arr.shape[1], dtype=arr.dtype)
+    for d in range(depth_max):
+        out = jnp.where(idx == d, arr[d], out)
+    return out
+
+
+def _stack_set(arr, idx, value, pred, depth_max):
+    rows = []
+    for d in range(depth_max):
+        rows.append(jnp.where(pred & (idx == d), value, arr[d]))
+    return jnp.stack(rows, axis=0)
+
+
+def _top_pending(masks, depth, depth_max):
+    "Highest stack slot below `depth` with a pending sibling mask (-1: none)."
+    top = jnp.full(masks.shape[1], -1, jnp.int32)
+    for d in range(depth_max):
+        top = jnp.where((masks[d] != jnp.uint32(0)) & (d < depth), d, top)
+    return top
 
 
 def _make_body(wide, rays):
@@ -60,83 +218,8 @@ def _make_body(wide, rays):
     k = wide.leaf_size
     depth_max = wide.max_depth
     leaf_base = wide.leaf_base
-
-    def child_hitmask(rows, best_d, active):
-        """Dense slab test of all F children in a fetched node row.
-        Returns (hit bitmask (N,) u32, nearest hit child (N,) i32)."""
-        r = rows[:, :6 * f].reshape(n, 6, f)
-        lo = r[:, 0:3]                  # (N,3,F)
-        hi = r[:, 3:6]
-        t0 = lo * inv_dir[:, :, None] + neg_org[:, :, None]
-        t1 = hi * inv_dir[:, :, None] + neg_org[:, :, None]
-        tsmall = jnp.where(finite[:, :, None], jnp.minimum(t0, t1),
-                           -jnp.inf)
-        tbig = jnp.where(finite[:, :, None], jnp.maximum(t0, t1), jnp.inf)
-        tmin = jnp.maximum(jnp.max(tsmall, axis=1), 0.0)   # (N,F)
-        tmax = jnp.min(tbig, axis=1)
-        # padding children carry NaN bounds; reject explicitly rather than
-        # relying on NaN propagation through the reductions
-        valid = lo[:, 0] == lo[:, 0]
-        hit = ((tmin <= tmax) & (tmin <= best_d[:, None]) & valid
-               & active[:, None])
-        bits = jnp.where(hit, jnp.uint32(1), jnp.uint32(0)) \
-            << jnp.arange(f, dtype=jnp.uint32)[None, :]
-        hitmask = jnp.sum(bits, axis=1, dtype=jnp.uint32)
-        # descend nearest-first: maximizes early pruning of the rest
-        nearest = jnp.argmin(jnp.where(hit, tmin, jnp.inf),
-                             axis=1).astype(jnp.int32)
-        return hitmask, nearest
-
-    def leaf_update(rows, active, best_tri, best_d):
-        "Dense Moller-Trumbore over all K triangles in a leaf block."
-        r = rows[:, :10 * k].reshape(n, k, 10)
-        v0 = r[:, :, 0:3]
-        e1 = r[:, :, 3:6]
-        e2 = r[:, :, 6:9]
-        tri_idx = jax.lax.bitcast_convert_type(r[:, :, 9], jnp.int32)
-
-        dirn = direction[:, None, :]
-        h = jnp.cross(dirn, e2)
-        a = jnp.sum(e1 * h, axis=-1)
-        parallel = jnp.abs(a) <= FLT_EPSILON
-        finv = 1.0 / jnp.where(parallel, 1.0, a)
-        s = origin[:, None, :] - v0
-        u = finv * jnp.sum(s * h, axis=-1)
-        q = jnp.cross(s, e1)
-        v = finv * jnp.sum(dirn * q, axis=-1)
-        t = finv * jnp.sum(e2 * q, axis=-1)
-
-        ok = (~parallel
-              & (u >= -EPSILON) & (u <= 1.0 + EPSILON)
-              & (v >= -EPSILON) & (u + v <= 1.0 + EPSILON)
-              & (t > EPSILON) & jnp.isfinite(t)
-              & (tri_idx >= 0)
-              & (tri_idx != last_hit[:, None])
-              & active[:, None])
-        t = jnp.where(ok, t, jnp.inf)
-        # min + masked select instead of argmin-indexing: per-lane fancy
-        # indexing would lower to another (slow) gather
-        tbest = jnp.min(t, axis=1)
-        at_min = t <= tbest[:, None]
-        tri_min = jnp.max(jnp.where(at_min & ok, tri_idx, -1), axis=1)
-        closer = tbest < best_d
-        best_d = jnp.where(closer, tbest, best_d)
-        best_tri = jnp.where(closer, tri_min, best_tri)
-        return best_tri, best_d
-
-    def stack_get(arr, idx):
-        "arr[:, idx] with a per-lane dynamic slot (static unroll)."
-        out = jnp.zeros(n, dtype=arr.dtype)
-        for d in range(depth_max):
-            out = jnp.where(idx == d, arr[:, d], out)
-        return out
-
-    def stack_set(arr, idx, value, pred):
-        cols = []
-        for d in range(depth_max):
-            sel = pred & (idx == d)
-            cols.append(jnp.where(sel, value, arr[:, d]))
-        return jnp.stack(cols, axis=1)
+    org_c, dir_c, inv_c, neg_c, fin_c = _ray_cols(origin, direction,
+                                                  inv_dir, neg_org, finite)
 
     def body(state):
         cur, depth, bases, masks, best_tri, best_d = state
@@ -145,34 +228,34 @@ def _make_body(wide, rays):
         internal = active & ~at_leaf
 
         rows = wide.rows[jnp.where(active, cur, 0)]  # the ONE gather
+        gT = rows.T     # (W, N): every table column a lane-packed row
 
-        hitmask, nearest = child_hitmask(rows, best_d, internal)
-        best_tri, best_d = leaf_update(rows, at_leaf, best_tri, best_d)
+        hitmask, nearest = _child_sweep(gT, f, (inv_c, neg_c, fin_c),
+                                        best_d, internal)
+        best_tri, best_d = _leaf_sweep(gT, k, org_c, dir_c, last_hit,
+                                       at_leaf, best_tri, best_d)
 
-        first_child = jax.lax.bitcast_convert_type(rows[:, 6 * f],
-                                                   jnp.int32)
+        first_child = jax.lax.bitcast_convert_type(gT[6 * f], jnp.int32)
 
         # descend into the nearest hit child, saving the sibling group
         # (base + remaining mask) on the stack
         will_descend = internal & (hitmask != 0)
         rest = hitmask & ~(jnp.uint32(1) << nearest.astype(jnp.uint32))
-        bases = stack_set(bases, depth, first_child, will_descend)
-        masks = stack_set(masks, depth, rest, will_descend)
+        bases = _stack_set(bases, depth, first_child, will_descend,
+                           depth_max)
+        masks = _stack_set(masks, depth, rest, will_descend, depth_max)
         cur = jnp.where(will_descend, first_child + nearest, cur)
         depth = jnp.where(will_descend, depth + 1, depth)
 
-        # pop: jump straight to the highest pending sibling group (one
-        # masked max + one dynamic-column read/write instead of a
-        # slot-by-slot walk, which unrolled quadratically)
+        # pop: jump straight to the highest pending sibling group
         need = active & ~will_descend
-        slots = jnp.arange(depth_max, dtype=jnp.int32)
-        pending = (masks != jnp.uint32(0)) & (slots[None, :]
-                                              < depth[:, None])
-        top = jnp.max(jnp.where(pending, slots[None, :], -1), axis=1)
+        top = _top_pending(masks, depth, depth_max)
         found = need & (top >= 0)
-        pm = stack_get(masks, top)
-        masks = stack_set(masks, top, pm & (pm - jnp.uint32(1)), found)
-        cur = jnp.where(found, stack_get(bases, top) + _ctz32(pm),
+        pm = _stack_get(masks, top, depth_max)
+        masks = _stack_set(masks, top, pm & (pm - jnp.uint32(1)), found,
+                           depth_max)
+        cur = jnp.where(found, _stack_get(bases, top, depth_max)
+                        + _ctz32(pm),
                         jnp.where(need & (top < 0), -1, cur))
         depth = jnp.where(found, top + 1, depth)
 
@@ -218,10 +301,11 @@ def intersect_mesh_wide(origin, direction, wide, last_hit_triangle=None,
 
     cur0 = izero                 # start at the root row
     depth0 = izero
-    # derived from izero so the carry inherits shard_map varying axes
-    bases0 = jnp.zeros((n, depth_max), dtype=jnp.int32) + izero[:, None]
-    masks0 = jnp.zeros((n, depth_max), dtype=jnp.uint32) \
-        + izero[:, None].astype(jnp.uint32)
+    # depth-major stacks; derived from izero so the carry inherits
+    # shard_map varying axes
+    bases0 = jnp.zeros((depth_max, n), dtype=jnp.int32) + izero[None, :]
+    masks0 = jnp.zeros((depth_max, n), dtype=jnp.uint32) \
+        + izero[None, :].astype(jnp.uint32)
     best_tri0 = izero - 1
     best_d0 = fzero + jnp.inf
     if best_limit is not None:
@@ -232,7 +316,7 @@ def intersect_mesh_wide(origin, direction, wide, last_hit_triangle=None,
     state = (cur0, depth0, bases0, masks0, best_tri0, best_d0)
 
     if not two_phase or n < MIN_TWO_PHASE:
-        body = _make_body(wide, rays)
+        body = _unrolled(_make_body(wide, rays))
         state = jax.lax.while_loop(_any_active, body, state)
         return state[4], state[5]
 
@@ -270,114 +354,61 @@ def _make_body_inst(inst, rays):
     k = inst.leaf_size
     depth_max = inst.max_depth
     width = inst.rows.shape[1]
+    org_c, dir_c, inv_c, neg_c, fin_c = _ray_cols(origin, direction,
+                                                  inv_dir, neg_org, finite)
+    world_loc = org_c + dir_c + inv_c + neg_c + fin_c
 
-    def child_hitmask(rows, best_d, active, inv_l, neg_l, fin_l):
-        r = rows[:, :6 * f].reshape(n, 6, f)
-        lo = r[:, 0:3]
-        hi = r[:, 3:6]
-        t0 = lo * inv_l[:, :, None] + neg_l[:, :, None]
-        t1 = hi * inv_l[:, :, None] + neg_l[:, :, None]
-        tsmall = jnp.where(fin_l[:, :, None], jnp.minimum(t0, t1),
-                           -jnp.inf)
-        tbig = jnp.where(fin_l[:, :, None], jnp.maximum(t0, t1), jnp.inf)
-        tmin = jnp.maximum(jnp.max(tsmall, axis=1), 0.0)
-        tmax = jnp.min(tbig, axis=1)
-        valid = lo[:, 0] == lo[:, 0]
-        hit = ((tmin <= tmax) & (tmin <= best_d[:, None]) & valid
-               & active[:, None])
-        bits = jnp.where(hit, jnp.uint32(1), jnp.uint32(0)) \
-            << jnp.arange(f, dtype=jnp.uint32)[None, :]
-        hitmask = jnp.sum(bits, axis=1, dtype=jnp.uint32)
-        nearest = jnp.argmin(jnp.where(hit, tmin, jnp.inf),
-                             axis=1).astype(jnp.int32)
-        return hitmask, nearest
-
-    def leaf_update(rows, active, best_tri, best_d, o_l, d_l, tbase):
-        r = rows[:, :10 * k].reshape(n, k, 10)
-        v0 = r[:, :, 0:3]
-        e1 = r[:, :, 3:6]
-        e2 = r[:, :, 6:9]
-        tri_idx = jax.lax.bitcast_convert_type(r[:, :, 9], jnp.int32)
-        tri_global = tri_idx + tbase[:, None]
-
-        dirn = d_l[:, None, :]
-        h = jnp.cross(dirn, e2)
-        a = jnp.sum(e1 * h, axis=-1)
-        parallel = jnp.abs(a) <= FLT_EPSILON
-        finv = 1.0 / jnp.where(parallel, 1.0, a)
-        s = o_l[:, None, :] - v0
-        u = finv * jnp.sum(s * h, axis=-1)
-        q = jnp.cross(s, e1)
-        v = finv * jnp.sum(dirn * q, axis=-1)
-        t = finv * jnp.sum(e2 * q, axis=-1)
-
-        ok = (~parallel
-              & (u >= -EPSILON) & (u <= 1.0 + EPSILON)
-              & (v >= -EPSILON) & (u + v <= 1.0 + EPSILON)
-              & (t > EPSILON) & jnp.isfinite(t)
-              & (tri_idx >= 0)
-              & (tri_global != last_hit[:, None])
-              & active[:, None])
-        t = jnp.where(ok, t, jnp.inf)
-        tbest = jnp.min(t, axis=1)
-        at_min = t <= tbest[:, None]
-        tri_min = jnp.max(jnp.where(at_min & ok, tri_global, -1), axis=1)
-        closer = tbest < best_d
-        best_d = jnp.where(closer, tbest, best_d)
-        best_tri = jnp.where(closer, tri_min, best_tri)
-        return best_tri, best_d
-
-    def stack_get(arr, idx):
-        out = jnp.zeros(n, dtype=arr.dtype)
-        for d in range(depth_max):
-            out = jnp.where(idx == d, arr[:, d], out)
-        return out
-
-    def stack_set(arr, idx, value, pred):
-        cols = []
-        for d in range(depth_max):
-            sel = pred & (idx == d)
-            cols.append(jnp.where(sel, value, arr[:, d]))
-        return jnp.stack(cols, axis=1)
+    from chroma_tpu.ops import visit_kernel
+    if visit_kernel.enabled(n):
+        return _make_body_inst_pallas(inst, rays, world_loc)
 
     def body(state):
-        (cur, depth, bases, masks, best_tri, best_d,
-         o_l, d_l, inv_l, neg_l, fin_l, d_inst, tbase) = state
+        (cur, depth, bases, masks, best_tri, best_d, loc, d_inst,
+         tbase) = state
+        # loc: the local-frame ray registers as 15 lane-packed (N,)
+        # vectors (ox,oy,oz, dx,dy,dz, ix,iy,iz, nx,ny,nz, fx,fy,fz)
         active = cur >= 0
 
         rows = inst.rows[jnp.where(active, cur, 0)]  # the ONE gather
-        tag = jax.lax.bitcast_convert_type(rows[:, width - 1], jnp.int32)
+        gT = rows.T     # (W, N): every table column a lane-packed row
+        tag = jax.lax.bitcast_convert_type(gT[width - 1], jnp.int32)
         internal = active & (tag == TAG_INTERNAL)
         at_leaf = active & (tag == TAG_LEAF)
         is_inst = active & (tag == TAG_INSTANCE)
 
-        hitmask, nearest = child_hitmask(rows, best_d, internal,
-                                         inv_l, neg_l, fin_l)
-        best_tri, best_d = leaf_update(rows, at_leaf, best_tri, best_d,
-                                       o_l, d_l, tbase)
+        o_cc, d_cc = loc[0:3], loc[3:6]
+        inv_cc, neg_cc, fin_cc = loc[6:9], loc[9:12], loc[12:15]
 
-        first_child = jax.lax.bitcast_convert_type(rows[:, 6 * f],
-                                                   jnp.int32)
+        hitmask, nearest = _child_sweep(gT, f, (inv_cc, neg_cc, fin_cc),
+                                        best_d, internal)
+        best_tri, best_d = _leaf_sweep(gT, k, o_cc, d_cc, last_hit,
+                                       at_leaf, best_tri, best_d,
+                                       tri_base=tbase)
+
+        first_child = jax.lax.bitcast_convert_type(gT[6 * f], jnp.int32)
 
         # instance entry: rotate the WORLD ray into the instance frame
-        rmat = rows[:, 0:9].reshape(n, 3, 3)
-        disp = rows[:, 9:12]
-        o_li = jnp.einsum('nij,nj->ni', rmat, origin - disp)
-        d_li = jnp.einsum('nij,nj->ni', rmat, direction)
-        inv_li = 1.0 / d_li
-        neg_li = -o_li * inv_li
-        fin_li = jnp.isfinite(inv_li)
-        sel = is_inst[:, None]
-        o_l = jnp.where(sel, o_li, o_l)
-        d_l = jnp.where(sel, d_li, d_l)
-        inv_l = jnp.where(sel, inv_li, inv_l)
-        neg_l = jnp.where(sel, neg_li, neg_l)
-        fin_l = jnp.where(sel, fin_li, fin_l)
+        # (column form: nine (N,) fma chains instead of an (N,3,3) einsum)
+        px = org_c[0] - gT[9]
+        py = org_c[1] - gT[10]
+        pz = org_c[2] - gT[11]
+        o_li = (gT[0] * px + gT[1] * py + gT[2] * pz,
+                gT[3] * px + gT[4] * py + gT[5] * pz,
+                gT[6] * px + gT[7] * py + gT[8] * pz)
+        d_li = (gT[0] * dir_c[0] + gT[1] * dir_c[1] + gT[2] * dir_c[2],
+                gT[3] * dir_c[0] + gT[4] * dir_c[1] + gT[5] * dir_c[2],
+                gT[6] * dir_c[0] + gT[7] * dir_c[1] + gT[8] * dir_c[2])
+        inv_li = tuple(1.0 / d for d in d_li)
+        neg_li = tuple(-o * i for o, i in zip(o_li, inv_li))
+        fin_li = tuple(jnp.isfinite(i) for i in inv_li)
+        entered = o_li + d_li + inv_li + neg_li + fin_li
+        loc = tuple(jnp.where(is_inst, e, l)
+                    for e, l in zip(entered, loc))
         d_inst = jnp.where(is_inst, depth, d_inst)
         tbase = jnp.where(is_inst,
-                          jax.lax.bitcast_convert_type(rows[:, 13],
-                                                       jnp.int32), tbase)
-        blas_root = jax.lax.bitcast_convert_type(rows[:, 12], jnp.int32)
+                          jax.lax.bitcast_convert_type(gT[13], jnp.int32),
+                          tbase)
+        blas_root = jax.lax.bitcast_convert_type(gT[12], jnp.int32)
 
         # descend: internal -> nearest hit child; instance -> BLAS root
         desc_int = internal & (hitmask != 0)
@@ -386,39 +417,90 @@ def _make_body_inst(inst, rays):
             desc_int,
             hitmask & ~(jnp.uint32(1) << nearest.astype(jnp.uint32)),
             jnp.uint32(0))
-        bases = stack_set(bases, depth,
-                          jnp.where(is_inst, blas_root, first_child), will)
-        masks = stack_set(masks, depth, rest, will)
+        bases = _stack_set(bases, depth,
+                           jnp.where(is_inst, blas_root, first_child),
+                           will, depth_max)
+        masks = _stack_set(masks, depth, rest, will, depth_max)
         cur = jnp.where(is_inst, blas_root,
                         jnp.where(desc_int, first_child + nearest, cur))
         depth = jnp.where(will, depth + 1, depth)
 
         # pop: jump straight to the highest pending sibling group
         need = active & ~will
-        slots = jnp.arange(depth_max, dtype=jnp.int32)
-        pending = (masks != jnp.uint32(0)) & (slots[None, :]
-                                              < depth[:, None])
-        top = jnp.max(jnp.where(pending, slots[None, :], -1), axis=1)
+        top = _top_pending(masks, depth, depth_max)
         found = need & (top >= 0)
-        pm = stack_get(masks, top)
-        masks = stack_set(masks, top, pm & (pm - jnp.uint32(1)), found)
-        cur = jnp.where(found, stack_get(bases, top) + _ctz32(pm),
+        pm = _stack_get(masks, top, depth_max)
+        masks = _stack_set(masks, top, pm & (pm - jnp.uint32(1)), found,
+                           depth_max)
+        cur = jnp.where(found, _stack_get(bases, top, depth_max)
+                        + _ctz32(pm),
                         jnp.where(need & (top < 0), -1, cur))
         depth = jnp.where(found, top + 1, depth)
 
         # leaving the instance: restore the world-frame registers
         leaving = (d_inst != IBIG) & (depth <= d_inst)
-        ls = leaving[:, None]
-        o_l = jnp.where(ls, origin, o_l)
-        d_l = jnp.where(ls, direction, d_l)
-        inv_l = jnp.where(ls, inv_dir, inv_l)
-        neg_l = jnp.where(ls, neg_org, neg_l)
-        fin_l = jnp.where(ls, finite, fin_l)
+        loc = tuple(jnp.where(leaving, w, l)
+                    for w, l in zip(world_loc, loc))
         tbase = jnp.where(leaving, 0, tbase)
         d_inst = jnp.where(leaving, IBIG, d_inst)
 
-        return (cur, depth, bases, masks, best_tri, best_d,
-                o_l, d_l, inv_l, neg_l, fin_l, d_inst, tbase)
+        return (cur, depth, bases, masks, best_tri, best_d, loc, d_inst,
+                tbase)
+
+    return body
+
+
+def _make_body_inst_pallas(inst, rays, world_loc):
+    """Pallas-backed visit body: the row gather + transpose stay XLA, the
+    whole per-visit computation runs as one fused Mosaic kernel (see
+    chroma_tpu.ops.visit_kernel). State pytree matches _make_body_inst."""
+    from chroma_tpu.bvh.wide import TAG_INTERNAL, TAG_LEAF, TAG_INSTANCE
+    from chroma_tpu.ops.visit_kernel import visit_inst
+
+    origin, direction, inv_dir, neg_org, finite, last_hit = rays
+    n = origin.shape[0]
+    nb = n // 128
+    f = inst.fanout
+    k = inst.leaf_size
+    depth_max = inst.max_depth
+    width = inst.rows.shape[1]
+    tags = (TAG_INTERNAL, TAG_LEAF, TAG_INSTANCE, IBIG)
+
+    from chroma_tpu.ops.visit_kernel import interpret_mode
+    interp = interpret_mode()
+
+    rays_pack = jnp.stack([c.astype(jnp.float32)
+                           for c in world_loc]).reshape(15, nb, 128)
+    last_t = last_hit.reshape(nb, 128)
+
+    def r2(a):
+        return a.reshape(nb, 128)
+
+    def body(state):
+        (cur, depth, bases, masks, best_tri, best_d, loc, d_inst,
+         tbase) = state
+        active = cur >= 0
+        rows = inst.rows[jnp.where(active, cur, 0)]  # the ONE gather
+        gT = rows.T.reshape(width, nb, 128)
+
+        loc_t = tuple(r2(l.astype(jnp.float32)) for l in loc)
+        (cur, depth, best_tri, d_inst, tbase, bases_t, masks_t, bd_t,
+         loc_t) = visit_inst(
+            gT, r2(cur), r2(depth), r2(best_tri), r2(d_inst), r2(tbase),
+            bases.reshape(depth_max, nb, 128),
+            jax.lax.bitcast_convert_type(
+                masks, jnp.int32).reshape(depth_max, nb, 128),
+            r2(best_d), loc_t, rays_pack, last_t,
+            width, f, k, depth_max, tags, interpret=interp)
+
+        loc_out = tuple(loc_t[i].reshape(n) for i in range(12)) \
+            + tuple(loc_t[i].reshape(n) > 0.5 for i in range(12, 15))
+        return (cur.reshape(n), depth.reshape(n),
+                bases_t.reshape(depth_max, n),
+                jax.lax.bitcast_convert_type(
+                    masks_t, jnp.uint32).reshape(depth_max, n),
+                best_tri.reshape(n), bd_t.reshape(n), loc_out,
+                d_inst.reshape(n), tbase.reshape(n))
 
     return body
 
@@ -445,9 +527,9 @@ def intersect_mesh_instanced(origin, direction, inst,
 
     cur0 = izero
     depth0 = izero
-    bases0 = jnp.zeros((n, depth_max), dtype=jnp.int32) + izero[:, None]
-    masks0 = jnp.zeros((n, depth_max), dtype=jnp.uint32) \
-        + izero[:, None].astype(jnp.uint32)
+    bases0 = jnp.zeros((depth_max, n), dtype=jnp.int32) + izero[None, :]
+    masks0 = jnp.zeros((depth_max, n), dtype=jnp.uint32) \
+        + izero[None, :].astype(jnp.uint32)
     best_tri0 = izero - 1
     best_d0 = fzero + jnp.inf
     if best_limit is not None:
@@ -455,12 +537,12 @@ def intersect_mesh_instanced(origin, direction, inst,
     if mask is not None:
         cur0 = jnp.where(mask, cur0, -1)
 
+    loc0 = sum(_ray_cols(origin, direction, inv_dir, neg_org, finite), ())
     state = (cur0, depth0, bases0, masks0, best_tri0, best_d0,
-             origin, direction, inv_dir, neg_org, finite,
-             izero + IBIG, izero)
+             loc0, izero + IBIG, izero)
 
     if not two_phase or n < MIN_TWO_PHASE:
-        body = _make_body_inst(inst, rays)
+        body = _unrolled(_make_body_inst(inst, rays))
         state = jax.lax.while_loop(_any_active, body, state)
         return state[4], state[5]
 
@@ -469,15 +551,64 @@ def intersect_mesh_instanced(origin, direction, inst,
     return state[4], state[5]
 
 
+def traversal_visits(origin, direction, wide, last_hit_triangle=None,
+                     mask=None, best_limit=None):
+    """Per-lane traversal visit counts (diagnostic, not the hot path).
+
+    Runs the single-phase lockstep loop carrying a visit counter; returns
+    (visits (N,) i32, triangle (N,) i32, distance (N,) f32). The analog of
+    the reference's device profiling counters
+    (reference: cuda/profile.h, gpu/profiler.py device_fetch)."""
+    from chroma_tpu.bvh.wide import InstancedBVH
+    n = origin.shape[0]
+    if last_hit_triangle is None:
+        last_hit_triangle = jnp.full(n, -1, jnp.int32)
+    inv_dir = 1.0 / direction
+    neg_org = -origin * inv_dir
+    finite = jnp.isfinite(inv_dir)
+    rays = (origin, direction, inv_dir, neg_org, finite,
+            last_hit_triangle)
+
+    izero = (origin[:, 0] * 0).astype(jnp.int32)
+    fzero = origin[:, 0] * 0
+    depth_max = wide.max_depth
+    cur0 = izero if mask is None else jnp.where(mask, izero, -1)
+    bases0 = jnp.zeros((depth_max, n), dtype=jnp.int32)
+    masks0 = jnp.zeros((depth_max, n), dtype=jnp.uint32)
+    best_d0 = fzero + jnp.inf if best_limit is None else best_limit
+    state = (cur0, izero, bases0, masks0, izero - 1, best_d0)
+    if isinstance(wide, InstancedBVH):
+        loc0 = sum(_ray_cols(origin, direction, inv_dir, neg_org,
+                             finite), ())
+        state = state + (loc0, izero + IBIG, izero)
+        body = _make_body_inst(wide, rays)
+    else:
+        body = _make_body(wide, rays)
+
+    def counted_body(carry):
+        visits, st = carry
+        return visits + (st[0] >= 0).astype(jnp.int32), body(st)
+
+    def counted_cond(carry):
+        return _any_active(carry[1])
+
+    visits, state = jax.lax.while_loop(counted_cond, counted_body,
+                                       (izero, state))
+    return visits, state[4], state[5]
+
+
 def _traversal_stages():
     """Compaction pyramid: (bounded iterations, width divisor) per stage.
     Traversal lengths are heavy-tailed (p50 ~11 visits, p99 ~25), so a
     lockstep loop run to completion pays max-visits gathers for every
     lane; each stage stops early and packs the surviving minority into a
     static prefix slice (cumsum + scatter, no host sync) before
-    continuing. Tunable via CHROMA_TRAV_STAGES='14:2,8:4,8:4'."""
+    continuing. Tunable via CHROMA_TRAV_STAGES='14:2,8:4,8:4'; 'none'
+    disables staging (pure single-phase lockstep)."""
     spec = os.environ.get('CHROMA_TRAV_STAGES')
     if spec:
+        if spec in ('none', 'off', '0'):
+            return ()
         return tuple(tuple(int(x) for x in part.split(':'))
                      for part in spec.split(','))
     return ((PHASE1_ITERS, COMPACT_DIVISOR),)
@@ -498,18 +629,44 @@ def _compact_perm(active):
     return dest, perm
 
 
+def _lane_axis(a, n):
+    """Which axis of a state/ray leaf is the lane axis. Stacks are carried
+    depth-major (D, N); everything else is lane-major."""
+    return 0 if a.shape[0] == n else 1
+
+
+def _take_lanes(tree, idx, n):
+    "Gather lanes of every leaf along its lane axis."
+    return jax.tree_util.tree_map(
+        lambda a: a[idx] if _lane_axis(a, n) == 0 else a[:, idx], tree)
+
+
+def _slice_lanes(tree, m, n):
+    "First m lanes of every leaf."
+    return jax.tree_util.tree_map(
+        lambda a: a[:m] if _lane_axis(a, n) == 0 else a[:, :m], tree)
+
+
+def _update_lanes(tree, part, n):
+    "Write the m-lane `part` back into the first m lanes of `tree`."
+    return jax.tree_util.tree_map(
+        lambda full, p: jax.lax.dynamic_update_slice_in_dim(
+            full, p, 0, axis=_lane_axis(full, n)),
+        tree, part)
+
+
 def _staged_query(body_factory, accel, rays, state, stages):
     """Run a traversal to completion with a pyramid of bounded lockstep
     phases, compacting survivors into a static prefix slice between
     phases (all device-side). Returns the final state, lane-aligned with
     the inputs."""
     if not stages:
-        body = body_factory(accel, rays)
+        body = _unrolled(body_factory(accel, rays))
         return jax.lax.while_loop(_any_active, body, state)
 
     n = rays[0].shape[0]
     iters, div = stages[0]
-    body = body_factory(accel, rays)
+    body = _unrolled(body_factory(accel, rays))
 
     def cond1(carry):
         i, st = carry
@@ -517,38 +674,32 @@ def _staged_query(body_factory, accel, rays, state, stages):
 
     def body1(carry):
         i, st = carry
-        return i + 1, body(st)
+        return i + max(TRAV_UNROLL, 1), body(st)
 
     _, state = jax.lax.while_loop(cond1, body1, (0, state))
 
     m = n // div
     if m < MIN_TWO_PHASE // COMPACT_DIVISOR:
-        body = body_factory(accel, rays)
+        body = _unrolled(body_factory(accel, rays))
         return jax.lax.while_loop(_any_active, body, state)
 
     dest, perm = _compact_perm(state[0] >= 0)
 
-    def permute(tree):
-        return jax.tree_util.tree_map(lambda a: a[perm], tree)
+    rays_p = _take_lanes(rays, perm, n)
+    state_p = _take_lanes(state, perm, n)
 
-    rays_p = permute(rays)
-    state_p = permute(state)
-
-    rays_s = jax.tree_util.tree_map(lambda a: a[:m], rays_p)
-    state_s = jax.tree_util.tree_map(lambda a: a[:m], state_p)
+    rays_s = _slice_lanes(rays_p, m, n)
+    state_s = _slice_lanes(state_p, m, n)
 
     state_s = _staged_query(body_factory, accel, rays_s, state_s,
                             stages[1:])
 
-    state_p = jax.tree_util.tree_map(
-        lambda full, part: jax.lax.dynamic_update_slice_in_dim(
-            full, part, 0, axis=0),
-        state_p, state_s)
+    state_p = _update_lanes(state_p, state_s, n)
 
     # overflow fallback: survivors beyond the slice (rare) finish at
     # this stage's full width
-    body_p = body_factory(accel, rays_p)
+    body_p = _unrolled(body_factory(accel, rays_p))
     state_p = jax.lax.while_loop(_any_active, body_p, state_p)
 
     # un-permute back to the caller's lane order (also a gather)
-    return jax.tree_util.tree_map(lambda a: a[dest], state_p)
+    return _take_lanes(state_p, dest, n)

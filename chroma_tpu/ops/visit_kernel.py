@@ -1,0 +1,291 @@
+"""Pallas TPU kernel for one wide-BVH traversal visit.
+
+The pure-XLA visit body (chroma_tpu.ops.mesh_wide._make_body_inst) lowers
+to ~hundreds of separate (N,) vector ops, each streaming its operands
+through HBM — measured ~20 ms per visit at 1M lanes, ~10x the cost of the
+row gather itself. This kernel runs the ENTIRE visit (child slab sweep,
+Moller-Trumbore leaf sweep, instance-frame rotation, stack push/pop) as
+one fused Mosaic program over (TB, 128)-lane tiles: operands are read
+from HBM once, all intermediates live in VMEM/vregs.
+
+The row gather and its transpose stay in XLA (Mosaic has no efficient
+per-lane random gather over a multi-MB table); the traversal while_loop
+alternates gather -> this kernel.
+
+Layout contract: N must be a multiple of TB*128; every per-lane array is
+reshaped to (..., N // 128, 128) outside. Booleans travel as f32 0/1.
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+EPSILON = 1e-6
+FLT_EPSILON = 1.19209290e-07
+
+TB = 8          # sublane-tile rows per grid step (TB*128 lanes)
+
+# enabled on TPU-like backends unless overridden; tests on CPU exercise it
+# through interpret mode via the correctness test
+PALLAS_VISIT = os.environ.get('CHROMA_PALLAS_VISIT', 'auto')
+
+
+def enabled(n):
+    if PALLAS_VISIT == '0':
+        return False
+    if n % (TB * 128) != 0:
+        return False
+    if PALLAS_VISIT in ('1', 'force'):
+        return True
+    try:
+        plat = jax.default_backend()
+    except Exception:
+        return False
+    return plat in ('tpu', 'axon')
+
+
+def interpret_mode():
+    "Interpret the kernel off-TPU (CHROMA_PALLAS_VISIT=force on CPU tests)."
+    try:
+        return jax.default_backend() not in ('tpu', 'axon')
+    except Exception:
+        return True
+
+
+def _bitcast_i32(x):
+    return pltpu.bitcast(x, jnp.int32)
+
+
+def _bitcast_f32(x):
+    return pltpu.bitcast(x, jnp.float32)
+
+
+def _ctz32(m):
+    """Index of the lowest set bit of an int32 bitmask (32 for m == 0),
+    via the float-exponent trick (no popcount needed; masks here have at
+    most 16 bits, far below the 2^24 exactness bound)."""
+    low = m & (-m)
+    e = (_bitcast_i32(low.astype(jnp.float32)) >> 23) - 127
+    return jnp.where(m == 0, 32, e)
+
+
+def _visit_kernel_inst(*refs, W, F, K, D, TAG_INTERNAL, TAG_LEAF,
+                       TAG_INSTANCE, IBIG):
+    """One traversal visit for a (TB, 128) tile of lanes (instanced
+    table). refs: gT, cur, depth, best_tri, d_inst, tbase, bases, masks,
+    bd, loc x15, rays, last | outputs cur..bd, loc x15 (same order)."""
+    (gT_ref, cur_ref, depth_ref, btri_ref, dinst_ref, tbase_ref,
+     bases_ref, masks_ref, bd_ref) = refs[0:9]
+    loc_refs = refs[9:24]
+    rays_ref, last_ref = refs[24], refs[25]
+    (ocur_ref, odepth_ref, obtri_ref, odinst_ref, otbase_ref,
+     obases_ref, omasks_ref, obd_ref) = refs[26:34]
+    oloc_refs = refs[34:49]
+
+    cur = cur_ref[:]
+    depth = depth_ref[:]
+    best_tri = btri_ref[:]
+    d_inst = dinst_ref[:]
+    tbase = tbase_ref[:]
+    best_d = bd_ref[:]
+    last_hit = last_ref[:]
+
+    active = cur >= 0
+    tag = _bitcast_i32(gT_ref[W - 1])
+    internal = active & (tag == TAG_INTERNAL)
+    at_leaf = active & (tag == TAG_LEAF)
+    is_inst = active & (tag == TAG_INSTANCE)
+
+    loc = [loc_refs[i][:] for i in range(15)]
+    o_cc, d_cc = loc[0:3], loc[3:6]
+    inv_cc, neg_cc, fin_cc = loc[6:9], loc[9:12], loc[12:15]
+
+    # --- child slab sweep (unrolled; everything stays in vregs) ---
+    neg_inf = jnp.float32(-jnp.inf)
+    pos_inf = jnp.float32(jnp.inf)
+    hitmask = jnp.zeros_like(cur)
+    nearest = jnp.zeros_like(cur)
+    tnear = jnp.full_like(best_d, jnp.inf)
+    fin_ok = [f > 0.5 for f in fin_cc]
+    for c in range(F):
+        t0x = gT_ref[c] * inv_cc[0] + neg_cc[0]
+        t1x = gT_ref[3 * F + c] * inv_cc[0] + neg_cc[0]
+        t0y = gT_ref[F + c] * inv_cc[1] + neg_cc[1]
+        t1y = gT_ref[4 * F + c] * inv_cc[1] + neg_cc[1]
+        t0z = gT_ref[2 * F + c] * inv_cc[2] + neg_cc[2]
+        t1z = gT_ref[5 * F + c] * inv_cc[2] + neg_cc[2]
+        smx = jnp.where(fin_ok[0], jnp.minimum(t0x, t1x), neg_inf)
+        bgx = jnp.where(fin_ok[0], jnp.maximum(t0x, t1x), pos_inf)
+        smy = jnp.where(fin_ok[1], jnp.minimum(t0y, t1y), neg_inf)
+        bgy = jnp.where(fin_ok[1], jnp.maximum(t0y, t1y), pos_inf)
+        smz = jnp.where(fin_ok[2], jnp.minimum(t0z, t1z), neg_inf)
+        bgz = jnp.where(fin_ok[2], jnp.maximum(t0z, t1z), pos_inf)
+        tmin = jnp.maximum(jnp.maximum(smx, smy), jnp.maximum(smz, 0.0))
+        tmax = jnp.minimum(jnp.minimum(bgx, bgy), bgz)
+        hit = (tmin <= tmax) & (tmin <= best_d) & internal
+        hitmask = hitmask | jnp.where(hit, jnp.int32(1 << c),
+                                      jnp.int32(0))
+        better = hit & (tmin < tnear)
+        tnear = jnp.where(better, tmin, tnear)
+        nearest = jnp.where(better, c, nearest)
+
+    # --- Moller-Trumbore leaf sweep (unrolled) ---
+    for ti in range(K):
+        b = 10 * ti
+        v0x, v0y, v0z = gT_ref[b], gT_ref[b + 1], gT_ref[b + 2]
+        e1x, e1y, e1z = gT_ref[b + 3], gT_ref[b + 4], gT_ref[b + 5]
+        e2x, e2y, e2z = gT_ref[b + 6], gT_ref[b + 7], gT_ref[b + 8]
+        tri = _bitcast_i32(gT_ref[b + 9])
+        tri_g = tri + tbase
+        hx = d_cc[1] * e2z - d_cc[2] * e2y
+        hy = d_cc[2] * e2x - d_cc[0] * e2z
+        hz = d_cc[0] * e2y - d_cc[1] * e2x
+        a = e1x * hx + e1y * hy + e1z * hz
+        parallel = jnp.abs(a) <= FLT_EPSILON
+        finv = 1.0 / jnp.where(parallel, 1.0, a)
+        sx, sy, sz = o_cc[0] - v0x, o_cc[1] - v0y, o_cc[2] - v0z
+        u = finv * (sx * hx + sy * hy + sz * hz)
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = finv * (d_cc[0] * qx + d_cc[1] * qy + d_cc[2] * qz)
+        t = finv * (e2x * qx + e2y * qy + e2z * qz)
+        ok = (~parallel
+              & (u >= -EPSILON) & (u <= 1.0 + EPSILON)
+              & (v >= -EPSILON) & (u + v <= 1.0 + EPSILON)
+              & (t > EPSILON) & jnp.isfinite(t)
+              & (tri >= 0)
+              & (tri_g != last_hit)
+              & at_leaf)
+        closer = ok & (t < best_d)
+        best_d = jnp.where(closer, t, best_d)
+        best_tri = jnp.where(closer, tri_g, best_tri)
+
+    first_child = _bitcast_i32(gT_ref[6 * F])
+
+    # --- instance entry: rotate the world ray into the instance frame ---
+    rays = [rays_ref[i] for i in range(15)]
+    w_org, w_dir = rays[0:3], rays[3:6]
+    px = w_org[0] - gT_ref[9]
+    py = w_org[1] - gT_ref[10]
+    pz = w_org[2] - gT_ref[11]
+    o_li = (gT_ref[0] * px + gT_ref[1] * py + gT_ref[2] * pz,
+            gT_ref[3] * px + gT_ref[4] * py + gT_ref[5] * pz,
+            gT_ref[6] * px + gT_ref[7] * py + gT_ref[8] * pz)
+    d_li = (gT_ref[0] * w_dir[0] + gT_ref[1] * w_dir[1]
+            + gT_ref[2] * w_dir[2],
+            gT_ref[3] * w_dir[0] + gT_ref[4] * w_dir[1]
+            + gT_ref[5] * w_dir[2],
+            gT_ref[6] * w_dir[0] + gT_ref[7] * w_dir[1]
+            + gT_ref[8] * w_dir[2])
+    inv_li = tuple(1.0 / d for d in d_li)
+    neg_li = tuple(-o * i for o, i in zip(o_li, inv_li))
+    fin_li = tuple(jnp.isfinite(i).astype(jnp.float32) for i in inv_li)
+    entered = o_li + d_li + inv_li + neg_li + fin_li
+    loc = [jnp.where(is_inst, e, l) for e, l in zip(entered, loc)]
+    d_inst = jnp.where(is_inst, depth, d_inst)
+    tbase = jnp.where(is_inst, _bitcast_i32(gT_ref[13]), tbase)
+    blas_root = _bitcast_i32(gT_ref[12])
+
+    # --- descend: internal -> nearest hit child; instance -> BLAS root ---
+    desc_int = internal & (hitmask != 0)
+    will = desc_int | is_inst
+    rest = jnp.where(desc_int, hitmask & ~(jnp.int32(1) << nearest),
+                     jnp.int32(0))
+    push_val = jnp.where(is_inst, blas_root, first_child)
+    new_bases = []
+    new_masks = []
+    for d in range(D):
+        sel = will & (depth == d)
+        new_bases.append(jnp.where(sel, push_val, bases_ref[d]))
+        new_masks.append(jnp.where(sel, rest, masks_ref[d]))
+    cur = jnp.where(is_inst, blas_root,
+                    jnp.where(desc_int, first_child + nearest, cur))
+    depth = jnp.where(will, depth + 1, depth)
+
+    # --- pop: highest pending sibling group ---
+    need = active & ~will
+    top = jnp.full_like(cur, -1)
+    for d in range(D):
+        top = jnp.where((new_masks[d] != 0) & (d < depth), d, top)
+    found = need & (top >= 0)
+    pm = jnp.zeros_like(cur)
+    for d in range(D):
+        pm = jnp.where(top == d, new_masks[d], pm)
+    popped = pm & (pm - 1)
+    for d in range(D):
+        new_masks[d] = jnp.where(found & (top == d), popped, new_masks[d])
+    base_at_top = jnp.zeros_like(cur)
+    for d in range(D):
+        base_at_top = jnp.where(top == d, new_bases[d], base_at_top)
+    cur = jnp.where(found, base_at_top + _ctz32(pm),
+                    jnp.where(need & (top < 0), -1, cur))
+    depth = jnp.where(found, top + 1, depth)
+
+    # --- leaving the instance: restore world-frame registers ---
+    leaving = (d_inst != IBIG) & (depth <= d_inst)
+    loc = [jnp.where(leaving, w, l) for w, l in zip(rays, loc)]
+    tbase = jnp.where(leaving, 0, tbase)
+    d_inst = jnp.where(leaving, IBIG, d_inst)
+
+    ocur_ref[:] = cur
+    odepth_ref[:] = depth
+    obtri_ref[:] = best_tri
+    odinst_ref[:] = d_inst
+    otbase_ref[:] = tbase
+    for d in range(D):
+        obases_ref[d] = new_bases[d]
+        omasks_ref[d] = new_masks[d]
+    obd_ref[:] = best_d
+    for i in range(15):
+        oloc_refs[i][:] = loc[i]
+
+
+@functools.partial(jax.jit, static_argnames=('W', 'F', 'K', 'D', 'tags',
+                                             'interpret'))
+def visit_inst(gT, cur, depth, btri, d_inst, tbase, bases, masks, bd,
+               loc, rays, last, W, F, K, D, tags, interpret=False):
+    """Run one instanced-table visit on all lanes.
+
+    gT: (W, NB, 128) f32 transposed gathered rows; cur/depth/btri/
+    d_inst/tbase/last: (NB, 128) i32; bases/masks: (D, NB, 128) i32;
+    bd: (NB, 128) f32; loc: tuple of 15 (NB, 128) f32; rays:
+    (15, NB, 128) f32 (constant). Returns (cur', depth', btri', d_inst',
+    tbase', bases', masks', bd', loc')."""
+    TAG_INTERNAL, TAG_LEAF, TAG_INSTANCE, IBIG = tags
+    nb = gT.shape[1]
+    kern = functools.partial(_visit_kernel_inst, W=W, F=F, K=K, D=D,
+                             TAG_INTERNAL=TAG_INTERNAL, TAG_LEAF=TAG_LEAF,
+                             TAG_INSTANCE=TAG_INSTANCE, IBIG=IBIG)
+
+    def spec(lead=None):
+        if lead is None:
+            return pl.BlockSpec((TB, 128), lambda g: (g, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((lead, TB, 128), lambda g: (0, g, 0),
+                            memory_space=pltpu.VMEM)
+
+    flat = spec()
+    out = pl.pallas_call(
+        kern,
+        grid=(nb // TB,),
+        in_specs=[spec(W), flat, flat, flat, flat, flat,
+                  spec(D), spec(D), flat]
+                 + [flat] * 15 + [spec(15), flat],
+        out_specs=tuple([flat] * 5 + [spec(D), spec(D), flat]
+                        + [flat] * 15),
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((nb, 128), jnp.int32)] * 5
+            + [jax.ShapeDtypeStruct((D, nb, 128), jnp.int32)] * 2
+            + [jax.ShapeDtypeStruct((nb, 128), jnp.float32)]
+            + [jax.ShapeDtypeStruct((nb, 128), jnp.float32)] * 15),
+        interpret=interpret,
+    )(gT, cur, depth, btri, d_inst, tbase, bases, masks, bd,
+      *loc, rays, last)
+    return (out[0], out[1], out[2], out[3], out[4], out[5], out[6],
+            out[7], tuple(out[8:23]))

@@ -39,24 +39,39 @@ def build_detector():
 
 
 def photon_bomb(n, seed):
+    """Isotropic photon bomb generated ON DEVICE (one jit, no host
+    arrays): uploading a 1M-photon host batch costs ~0.8 s through the
+    remote tunnel and would drain inside the timed propagation
+    otherwise. The generator facade (chroma_tpu.generator) is the
+    host-compatible path; the physics sampled here is identical."""
+    import jax
+    import jax.numpy as jnp
+    from chroma_tpu.ops.photon import PhotonState
+    from chroma_tpu.ops.sample import uniform_sphere, uniform
+
+    @jax.jit
+    def make(key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        d = uniform_sphere(k1, (n,))
+        pol = jnp.cross(uniform_sphere(k2, (n,)), d)
+        pol = pol / jnp.linalg.norm(pol, axis=1, keepdims=True)
+        return PhotonState(
+            pos=jnp.zeros((n, 3), jnp.float32),
+            dir=d, pol=pol,
+            wavelength=uniform(k3, (n,), 300.0, 700.0),
+            t=jnp.zeros(n, jnp.float32),
+            weight=jnp.ones(n, jnp.float32),
+            flags=jnp.zeros(n, jnp.uint32),
+            last_hit_triangle=jnp.full(n, -1, jnp.int32),
+            evidx=jnp.zeros(n, jnp.uint32),
+            cur_mat=jnp.full(n, -1, jnp.int32),
+        )
+
+    ps = make(jax.random.key(seed))
+    # force a real sync (block_until_ready is advisory on the tunnel)
     import numpy as np
-    from chroma_tpu import event
-    from chroma_tpu.ops.propagate import photon_state_from_host
-
-    rs = np.random.RandomState(seed)
-
-    def sphere(m):
-        theta = rs.uniform(0, 2 * np.pi, m)
-        u = rs.uniform(-1, 1, m)
-        c = np.sqrt(1 - u * u)
-        return np.stack([c * np.cos(theta), c * np.sin(theta), u], axis=1)
-
-    pol = np.cross(sphere(n), sphere(n))
-    pol /= np.linalg.norm(pol, axis=1, keepdims=True)
-    ph = event.Photons(pos=np.zeros((n, 3)), dir=sphere(n), pol=pol,
-                       wavelengths=rs.uniform(300, 700, n),
-                       t=np.zeros(n))
-    return photon_state_from_host(ph)
+    np.asarray(ps.pos[:1])
+    return ps
 
 
 def main():
@@ -78,8 +93,9 @@ def main():
           (nch, len(geo.mesh.triangles)), file=sys.stderr)
 
     # warm twice (covers the compaction bucket sizes and chunk lengths)
+    from chroma_tpu.ops.sample import make_key
     for w in (100, 101):
-        res = propagate(photon_bomb(nphotons, w), ga, jax.random.key(w),
+        res = propagate(photon_bomb(nphotons, w), ga, make_key(w),
                         max_steps=100, step_chunk='auto')
         _ = np.asarray(res.flags)[:1]
 
@@ -87,7 +103,7 @@ def main():
     for rep in range(1, reps + 1):
         ps = photon_bomb(nphotons, rep)
         t0 = time.time()
-        res = propagate(ps, ga, jax.random.key(rep), max_steps=100,
+        res = propagate(ps, ga, make_key(rep), max_steps=100,
                         step_chunk='auto')
         flags = np.asarray(res.flags)
         dt = time.time() - t0

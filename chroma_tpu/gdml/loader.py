@@ -17,7 +17,7 @@ import numpy as np
 
 from chroma_tpu.detector import Detector
 from chroma_tpu.transform import make_rotation_matrix
-from chroma_tpu.geometry import Solid
+from chroma_tpu.geometry import Mesh, Solid
 from chroma_tpu.gdml import mesh_gen
 
 # unit scales to mm / radians
@@ -198,15 +198,27 @@ class GDMLLoader(object):
         return mesh
 
     def _boolean_mesh(self, elem, op):
-        "CSG booleans require gmsh; fail clearly when it is absent."
-        try:
-            import gmsh  # noqa: F401
-        except ImportError:
-            raise NotImplementedError(
-                'GDML boolean solid %r (%s) requires the optional gmsh '
-                'package for mesh booleans' % (elem.get('name'), op))
-        raise NotImplementedError(
-            'gmsh-backed boolean meshing is not wired up in this build')
+        """CSG boolean solid: mesh both operands and combine with the BSP
+        engine (chroma_tpu.csg). The <position>/<rotation> children (or
+        their refs) place the SECOND solid in the first solid's frame,
+        with the same frame-rotation convention as physvol placement
+        (reference: chroma/gdml/gen_mesh.py gdml_boolean, which does the
+        same through OpenCASCADE)."""
+        from chroma_tpu.csg import mesh_boolean
+        first = self.get_mesh(elem.find('first').get('ref'))
+        second = self.get_mesh(elem.find('second').get('ref'))
+
+        pos, rot = self.get_pos_rot(elem)
+        c_pos = self.get_vals(pos) if pos is not None else np.zeros(3)
+        c_ang = self.get_vals(rot) if rot is not None else np.zeros(3)
+        x_rot = make_rotation_matrix(c_ang[0], [1, 0, 0])
+        y_rot = make_rotation_matrix(c_ang[1], [0, 1, 0])
+        z_rot = make_rotation_matrix(c_ang[2], [0, 0, 1])
+        rmat = x_rot @ y_rot @ z_rot
+
+        moved = Mesh((second.vertices @ rmat.T) + c_pos,
+                     second.triangles, round=False)
+        return mesh_boolean(op, first, moved)
 
     # --- detector construction -------------------------------------------
 

@@ -114,15 +114,76 @@ def test_gdml_loader_builds_detector():
         os.unlink(path)
 
 
-def test_boolean_raises():
-    path = _write_gdml()
+def _closed(mesh):
+    tris = np.sort(
+        np.stack([mesh.triangles[:, [0, 1]], mesh.triangles[:, [1, 2]],
+                  mesh.triangles[:, [2, 0]]]).reshape(-1, 2), axis=1)
+    _, counts = np.unique(tris, axis=0, return_counts=True)
+    return (counts == 2).all()
+
+
+def test_csg_boolean_volumes():
+    """BSP mesh booleans against analytic volumes of overlapping boxes
+    (reference meshes these through OpenCASCADE: gdml/gen_mesh.py:39-70)."""
+    from chroma_tpu.csg import (mesh_union, mesh_subtract, mesh_intersect,
+                                mesh_volume)
+    from chroma_tpu.geometry import Mesh
+    a = mesh_gen.box(20.0, 20.0, 20.0)              # [-10, 10]^3
+    b_raw = mesh_gen.box(20.0, 20.0, 20.0)
+    b = Mesh(b_raw.vertices + np.array([10.0, 0, 0], dtype=np.float32),
+             b_raw.triangles)                        # [0, 20] x [-10,10]^2
+
+    v_a = 8000.0
+    v_overlap = 4000.0
+    union = mesh_union(a, b)
+    assert abs(mesh_volume(union) - (2 * v_a - v_overlap)) < 1.0
+    diff = mesh_subtract(a, b)
+    assert abs(mesh_volume(diff) - (v_a - v_overlap)) < 1.0
+    inter = mesh_intersect(a, b)
+    assert abs(mesh_volume(inter) - v_overlap) < 1.0
+    # NB: BSP output contains T-vertices, so the strict shared-edge test
+    # does not apply; the exact signed volumes above prove the surfaces
+    # are geometrically closed and consistently wound.
+
+
+def test_csg_sphere_subtract():
+    "Curved-surface boolean: box minus centered ball."
+    from chroma_tpu.csg import mesh_subtract, mesh_volume
+    a = mesh_gen.box(40.0, 40.0, 40.0)
+    ball = mesh_gen.orb(10.0, nsteps=32)
+    v_ball = mesh_volume(ball)              # tessellated ball volume
+    out = mesh_subtract(a, ball)
+    assert abs(mesh_volume(out) - (64000.0 - v_ball)) < 10.0
+
+
+BOOL_GDML = GDML.replace(
+    '<orb name="pmt_ball" lunit="mm" r="100"/>',
+    '''<orb name="pmt_ball" lunit="mm" r="100"/>
+    <box name="slab" lunit="mm" x="300" y="300" z="100"/>
+    <subtraction name="holey_slab">
+      <first ref="slab"/>
+      <second ref="drill"/>
+      <position name="drill_pos" unit="mm" x="0" y="0" z="0"/>
+    </subtraction>
+    <tube name="drill" lunit="mm" rmin="0" rmax="50" z="120"
+          deltaphi="6.283185307179586"/>''').replace(
+    '<solidref ref="tank"/>',
+    '<solidref ref="holey_slab"/>')
+
+
+def test_gdml_boolean_solid():
+    "A subtraction solid loads, meshes, and has the drilled volume."
+    from chroma_tpu.csg import mesh_volume
+    f = tempfile.NamedTemporaryFile('w', suffix='.gdml', delete=False)
+    f.write(BOOL_GDML)
+    f.close()
     try:
-        loader = GDMLLoader(path)
-        import xml.etree.ElementTree as et
-        elem = et.fromstring('<subtraction name="s"><first ref="a"/>'
-                             '<second ref="b"/></subtraction>')
-        loader.solid_map['s'] = elem
-        with pytest.raises(NotImplementedError):
-            loader.get_mesh('s')
+        loader = GDMLLoader(f.name)
+        mesh = loader.get_mesh('holey_slab')
+        expect = 300.0 * 300 * 100 - np.pi * 50 ** 2 * 100
+        vol = mesh_volume(mesh)
+        # the tessellated drill (32-gon) removes slightly less than a
+        # true cylinder
+        assert abs(vol - expect) / expect < 0.02
     finally:
-        os.unlink(path)
+        os.unlink(f.name)

@@ -1,19 +1,24 @@
 """Benchmark driver: full-physics photon propagation throughput.
 
 Measures photons/second through the demo PMT detector (isotropic photon
-bomb, full surface/bulk physics, propagation to termination), the
-configuration behind the reference's headline number
-(reference: README.md:5 — 2.5M photons/s on a 29k-PMT detector).
+bomb, full surface/bulk physics, propagation to termination) at the
+reference's HEADLINE scale — a ~29,000-PMT spherical detector
+(reference: README.md:5 — 2.5M photons/s) — plus the BVH ray throughput
+(Mrays/s) via the distance_to_mesh analog
+(reference: chroma/cuda/mesh.h:131-159).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line to stdout: {"metric", "value", "unit",
+"vs_baseline"}; all metrics are also written to BENCH_EXTRA.json.
 
 Scale knobs (env):
+  CHROMA_BENCH_QUICK=1 - small 630-PMT config (fast smoke run)
   CHROMA_BENCH_PMT_RADIUS / SPHERE_RADIUS / SPIRAL_STEP - detector size
   CHROMA_BENCH_PHOTONS - photons per bomb (default 1M)
   CHROMA_BENCH_REPS    - timed repetitions (default 3)
 """
 import json
 import os
+import pickle
 import sys
 import time
 
@@ -22,19 +27,44 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_PHOTONS_PER_SEC = 2.5e6  # reference GPU headline (BASELINE.md)
 
 
-def build_detector():
+def _flags(quick):
+    if quick:
+        return (4000.0, 4500.0, 400.0)
+    return (float(os.environ.get('CHROMA_BENCH_PMT_RADIUS', 14000.0)),
+            float(os.environ.get('CHROMA_BENCH_SPHERE_RADIUS', 14500.0)),
+            float(os.environ.get('CHROMA_BENCH_SPIRAL_STEP', 290.0)))
+
+
+def build_detector(quick=False):
+    """Build (or load from the chroma cache) the benchmark detector. The
+    headline config takes ~10 min of host meshing at 86M triangles, so
+    the flattened geometry is cached keyed by its parameters."""
     from chroma_tpu import demo
     from chroma_tpu.loader import create_geometry_from_obj
 
-    pmt_radius = float(os.environ.get('CHROMA_BENCH_PMT_RADIUS', 4000.0))
-    sphere_radius = float(os.environ.get('CHROMA_BENCH_SPHERE_RADIUS',
-                                         4500.0))
-    spiral_step = float(os.environ.get('CHROMA_BENCH_SPIRAL_STEP', 400.0))
+    pmt_radius, sphere_radius, spiral_step = _flags(quick)
+
+    cache_dir = os.environ.get('CHROMA_CACHE_DIR',
+                               os.path.expanduser('~/.chroma'))
+    os.makedirs(cache_dir, exist_ok=True)
+    tag = 'bench-%g-%g-%g.pkl' % (pmt_radius, sphere_radius, spiral_step)
+    path = os.path.join(cache_dir, tag)
+    if os.path.exists(path):
+        t0 = time.time()
+        with open(path, 'rb') as f:
+            geo = pickle.load(f)
+        print('# loaded cached bench geometry in %.0fs' %
+              (time.time() - t0), file=sys.stderr)
+        return geo
 
     det = demo.detector(pmt_radius, sphere_radius, spiral_step)
     # the device path only needs the wide BVH; skip the classic builder
-    # (expensive at tens of millions of triangles)
     geo = create_geometry_from_obj(det, auto_build_bvh=False)
+    try:
+        with open(path, 'wb') as f:
+            pickle.dump(geo, f, protocol=4)
+    except Exception as e:      # cache is best-effort
+        print('# geometry cache write failed: %s' % e, file=sys.stderr)
     return geo
 
 
@@ -42,10 +72,10 @@ def photon_bomb(n, seed):
     """Isotropic photon bomb generated ON DEVICE (one jit, no host
     arrays): uploading a 1M-photon host batch costs ~0.8 s through the
     remote tunnel and would drain inside the timed propagation
-    otherwise. The generator facade (chroma_tpu.generator) is the
-    host-compatible path; the physics sampled here is identical."""
+    otherwise."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
     from chroma_tpu.ops.photon import PhotonState
     from chroma_tpu.ops.sample import uniform_sphere, uniform
 
@@ -74,6 +104,26 @@ def photon_bomb(n, seed):
     return ps
 
 
+def measure_rays(ga, nrays, reps):
+    """BVH ray throughput: nearest-triangle queries on isotropic rays
+    (the reference's distance_to_mesh, cuda/mesh.h:131-159)."""
+    import jax
+    import numpy as np
+    from chroma_tpu.ops.mesh_wide import intersect_mesh_wide
+
+    f = jax.jit(lambda p, d, l: intersect_mesh_wide(p, d, ga.wide, l)[1])
+    best = float('inf')
+    for rep in range(reps + 1):
+        ps = photon_bomb(nrays, 1000 + rep)
+        t0 = time.time()
+        out = f(ps.pos, ps.dir, ps.last_hit_triangle)
+        np.asarray(out[:1])
+        dt = time.time() - t0
+        if rep > 0:             # first call includes compile
+            best = min(best, dt)
+    return nrays / best
+
+
 def main():
     from chroma_tpu.tpu_util import wait_for_tpu
     wait_for_tpu()
@@ -81,25 +131,27 @@ def main():
     import jax
     from chroma_tpu.ops.types import build_geometry_arrays
     from chroma_tpu.ops.propagate import propagate
+    from chroma_tpu.ops.sample import make_key
     from chroma_tpu import event
 
+    quick = bool(int(os.environ.get('CHROMA_BENCH_QUICK', '0')))
     nphotons = int(os.environ.get('CHROMA_BENCH_PHOTONS', 1 << 20))
     reps = int(os.environ.get('CHROMA_BENCH_REPS', 3))
 
-    geo = build_detector()
+    geo = build_detector(quick)
     ga = build_geometry_arrays(geo)
     nch = geo.num_channels()
     print('# detector: %d PMTs, %d triangles' %
           (nch, len(geo.mesh.triangles)), file=sys.stderr)
 
     # warm twice (covers the compaction bucket sizes and chunk lengths)
-    from chroma_tpu.ops.sample import make_key
     for w in (100, 101):
         res = propagate(photon_bomb(nphotons, w), ga, make_key(w),
                         max_steps=100, step_chunk='auto')
         _ = np.asarray(res.flags)[:1]
 
     best = float('inf')
+    detected = 0
     for rep in range(1, reps + 1):
         ps = photon_bomb(nphotons, rep)
         t0 = time.time()
@@ -113,6 +165,26 @@ def main():
         best = min(best, dt)
 
     value = nphotons / best
+    rays_per_sec = measure_rays(ga, nphotons, max(reps - 1, 1))
+    print('# BVH ray throughput: %.2f Mrays/s' % (rays_per_sec / 1e6),
+          file=sys.stderr)
+
+    extra = {
+        'photon_propagation_throughput': round(value, 1),
+        'photons_per_sec_vs_baseline': round(
+            value / BASELINE_PHOTONS_PER_SEC, 4),
+        'bvh_ray_throughput_mrays': round(rays_per_sec / 1e6, 3),
+        'detector_pmts': nch,
+        'detector_triangles': int(len(geo.mesh.triangles)),
+        'nphotons': nphotons,
+    }
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               'BENCH_EXTRA.json'), 'w') as f:
+            json.dump(extra, f, indent=1)
+    except Exception:
+        pass
+
     print(json.dumps({
         'metric': 'photon_propagation_throughput',
         'value': round(value, 1),

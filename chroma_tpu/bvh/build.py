@@ -283,6 +283,79 @@ def area_sort_nodes(nodes, layer_bounds):
     return nodes
 
 
+def rebuild_above(bvh, layer_idx, degree=2):
+    """Rebuild every layer above `layer_idx` by merging consecutive runs
+    of `degree` nodes bottom-up, returning a new BVH. Needed after a
+    within-layer reordering (optimize_layer) invalidates the parents'
+    contiguous child runs. (The reference CLI calls an equivalent
+    `rebuild_tree` that drifted out of its tree; reference:
+    bin/chroma-bvh:84.)"""
+    from chroma_tpu.bvh.bvh import BVH, pack_nodes, unpack_nodes, node_areas
+
+    lb = bvh.layer_bounds
+    old_base = lb[layer_idx]
+    kept = bvh.nodes[old_base:].copy()      # layer_idx..deepest, in order
+
+    # sizes of the rebuilt upper layers (root first)
+    sizes = []
+    n = lb[layer_idx + 1] - lb[layer_idx]
+    while n > 1:
+        n = (n + degree - 1) // degree
+        sizes.append(n)
+    sizes.reverse()                          # [1, ..., parents-of-layer]
+    new_base = sum(sizes)
+
+    # kept nodes' absolute child pointers shift by the new prefix length
+    delta = new_base - old_base
+    if delta != 0:
+        w = kept['w'].astype(np.int64)
+        child = w & int(~NCHILD_MASK & 0xFFFFFFFF)
+        nchild = w >> CHILD_BITS
+        internal = nchild > 0
+        child = np.where(internal, child + delta, child)
+        kept['w'] = ((nchild << CHILD_BITS) | child).astype(np.uint32)
+
+    # build parents bottom-up over the (reordered) layer
+    layers = []                              # deepest-first
+    u = unpack_nodes(kept[:lb[layer_idx + 1] - old_base])
+    lo = np.stack([u['xlo'], u['ylo'], u['zlo']], axis=1).astype(np.int64)
+    hi = np.stack([u['xhi'], u['yhi'], u['zhi']], axis=1).astype(np.int64)
+    real = node_areas(kept[:lb[layer_idx + 1] - old_base]) > 0
+    real |= (lo != hi).any(axis=1)           # dummies have zero extent
+    child_abs = new_base                     # offset of the child layer
+    for size in reversed(sizes):
+        cnt = len(lo)
+        pad = size * degree - cnt
+        lo_p = np.concatenate([lo, np.zeros((pad, 3), np.int64)])
+        hi_p = np.concatenate([hi, np.zeros((pad, 3), np.int64)])
+        real_p = np.concatenate([real, np.zeros(pad, bool)])
+        lo_g = lo_p.reshape(size, degree, 3)
+        hi_g = hi_p.reshape(size, degree, 3)
+        real_g = real_p.reshape(size, degree)
+        big = np.int64(1) << 60
+        plo = np.where(real_g[:, :, None], lo_g, big).min(axis=1)
+        phi = np.where(real_g[:, :, None], hi_g, -big).max(axis=1)
+        any_real = real_g.any(axis=1)
+        plo = np.where(any_real[:, None], plo, 0)
+        phi = np.where(any_real[:, None], phi, 0)
+        # parents always keep their child run, even over dummy-only
+        # groups (zero-extent boxes are never entered); a nchild of 0
+        # would read as a leaf for triangle 0
+        nch = np.minimum(degree,
+                         cnt - degree * np.arange(size)).astype(np.uint32)
+        first = (child_abs + degree * np.arange(size)).astype(np.uint32)
+        layers.append(pack_nodes(plo, phi, first, nch))
+        lo, hi, real = plo, phi, any_real
+        child_abs -= size
+
+    layers.reverse()                         # root first
+    new_nodes = np.concatenate(layers + [kept])
+    return BVH(bvh.world_coords, new_nodes,
+               np.cumsum([0] + sizes).tolist()
+               + [new_base + b - old_base
+                  for b in lb[layer_idx + 1:-1]])
+
+
 def optimize_layer(nodes, max_sweeps=1, window=32):
     """Greedy surface-area minimization of sibling pairings within a layer
     (a bounded numpy version of the reference's iterative pair-swap search,

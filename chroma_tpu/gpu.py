@@ -16,6 +16,20 @@ from chroma_tpu.ops.propagate import (propagate, photon_state_from_host,
                                       photon_state_to_host)
 from chroma_tpu.ops import daq as daq_ops
 from chroma_tpu.ops import pdf as pdf_ops
+from chroma_tpu.ops.photon import PhotonState
+
+
+def join_states(states):
+    """Concatenate device PhotonStates along the photon axis without any
+    host round trip (the analog of the reference's device-side source
+    stacking, reference: chroma/sim.py:156-223 _stack_gpu_photon_sources
+    + gpu/photon.py:66-95 dtod copies)."""
+    import jax.numpy as jnp
+    states = [st if st.cur_mat is not None else
+              st.replace(cur_mat=jnp.full(len(st), -1, jnp.int32))
+              for st in states]
+    return jax.tree_util.tree_map(
+        lambda *leaves: jnp.concatenate(leaves, axis=0), *states)
 
 
 def create_cuda_context(device=None):
@@ -57,11 +71,26 @@ class GPUPhotons(object):
     "Device photon batch (reference: chroma/gpu/photon.py GPUPhotons)."
 
     def __init__(self, photons, ncopies=1, **_compat):
-        if ncopies > 1:
-            from chroma_tpu.event import Photons
-            photons = Photons.join([photons] * ncopies)
-        self.state = photon_state_from_host(photons)
-        self.true_nphotons = len(photons)
+        import jax.numpy as jnp
+        if isinstance(photons, PhotonState):
+            # device-resident input: a zero-copy view, duplicated on
+            # device when ncopies > 1 (reference: gpu/photon.py:66-111)
+            self.true_nphotons = len(photons)
+            state = photons
+            if state.cur_mat is None:
+                state = state.replace(
+                    cur_mat=jnp.full(len(state), -1, jnp.int32))
+            if ncopies > 1:
+                state = jax.tree_util.tree_map(
+                    lambda a: jnp.concatenate([a] * ncopies, axis=0),
+                    state)
+            self.state = state
+        else:
+            self.true_nphotons = len(photons)
+            if ncopies > 1:
+                from chroma_tpu.event import Photons
+                photons = Photons.join([photons] * ncopies)
+            self.state = photon_state_from_host(photons)
 
     def __len__(self):
         return len(self.state)
@@ -83,19 +112,28 @@ class GPUPhotons(object):
         return photon_state_to_host(self.state)
 
     def get_flat_hits(self, gpu_geometry):
-        "Photons detected by channels (reference: gpu/photon.py:141-209)."
-        host = photon_state_to_host(self.state)
-        geometry = gpu_geometry.geometry
-        channel = daq_ops.photon_channels(
-            host, geometry.solid_id,
-            np.asarray(geometry.solid_id_to_channel_index))
-        host.channel = np.maximum(channel, 0).astype(np.uint32)
-        return host[channel >= 0]
+        """Photons detected by channels. Counts and compacts ON DEVICE,
+        transferring only the detected minority, like the reference's
+        count->alloc->copy kernels (reference: gpu/photon.py:141-209)."""
+        import jax.numpy as jnp
+        channel = daq_ops.photon_channels_device(
+            self.state, gpu_geometry.arrays)
+        detected = channel >= 0
+        n = int(jnp.sum(detected))
+        order = jnp.argsort(jnp.where(detected, 0, 1), stable=True)[:n]
+        sub = jax.tree_util.tree_map(lambda a: a[order], self.state)
+        ch = np.asarray(channel[order]).astype(np.uint32)
+        return photon_state_to_host(sub, channel=ch)
 
     def select(self, target_flag):
-        "Photons whose history matches target_flag."
-        host = photon_state_to_host(self.state)
-        return host[(host.flags & np.uint32(target_flag)) != 0]
+        """Photons whose history matches target_flag (device-side count
+        and compaction, host transfer of the selection only)."""
+        import jax.numpy as jnp
+        match = (self.state.flags & jnp.uint32(target_flag)) != 0
+        n = int(jnp.sum(match))
+        order = jnp.argsort(jnp.where(match, 0, 1), stable=True)[:n]
+        sub = jax.tree_util.tree_map(lambda a: a[order], self.state)
+        return photon_state_to_host(sub)
 
 
 class GPUDaq(object):

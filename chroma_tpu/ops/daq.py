@@ -111,6 +111,23 @@ def channels_to_host(channel_arrays, evidx=None):
                           evidx=evidx)
 
 
+def photon_channels_device(state, geometry_arrays):
+    """Channel index for each detected photon, -1 otherwise, computed on
+    device from a PhotonState (the count/copy half of the reference's
+    flat-hit kernels without the full-batch host round trip; reference:
+    propagate.cu:172-251)."""
+    import jax.numpy as jnp
+    from chroma_tpu.event import SURFACE_DETECT as _SD
+
+    tri = state.last_hit_triangle
+    valid = tri > -1
+    solid = geometry_arrays.solid_id[jnp.maximum(tri, 0)]
+    channel = geometry_arrays.detector.solid_id_to_channel_index[solid]
+    detected = (valid & (channel >= 0)
+                & ((state.flags & jnp.uint32(_SD)) != 0))
+    return jnp.where(detected, channel, -1).astype(jnp.int32)
+
+
 def photon_channels(photons_host, solid_id, solid_id_to_channel_index):
     """Channel index for each detected photon, -1 otherwise — host-side
     helper for flat-hit extraction (reference: propagate.cu:172-251)."""

@@ -42,15 +42,26 @@ PHASE1_ITERS = 28
 COMPACT_DIVISOR = 4
 MIN_TWO_PHASE = 4096
 
-# visits per while_loop iteration: >1 amortizes the measured ~2 ms
-# per-iteration loop overhead at 1M lanes and lets XLA fuse across
-# visits, at the cost of up to (unroll-1) wasted visits per lane
-TRAV_UNROLL = int(os.environ.get('CHROMA_TRAV_UNROLL', '2'))
+# visits per while_loop iteration: >1 amortizes the measured
+# ~0.5-2 ms/iteration loop overhead (nearly width-independent on this
+# runtime, so small widths get deeper unrolls), at the cost of up to
+# (unroll-1) wasted visits per lane once it finishes.
+# CHROMA_TRAV_UNROLL forces a fixed value.
+TRAV_UNROLL = os.environ.get('CHROMA_TRAV_UNROLL', 'auto')
 
 
-def _unrolled(body, unroll=None):
-    "Compose `body` with itself `unroll` times (visit-loop unrolling)."
-    unroll = TRAV_UNROLL if unroll is None else unroll
+def _unroll_for(n):
+    # measured: unroll 2 wins ~1.6x end-to-end; deeper width-adaptive
+    # unrolls (4/8 at small widths) lost it back to wasted visits and
+    # blow up CPU compile times under shard_map
+    if TRAV_UNROLL != 'auto':
+        return max(1, int(TRAV_UNROLL))
+    return 2
+
+
+def _unrolled(body, n, unroll=None):
+    "Compose `body` with itself (visit-loop unrolling, width-adaptive)."
+    unroll = _unroll_for(n) if unroll is None else unroll
     if unroll <= 1:
         return body
 
@@ -316,7 +327,7 @@ def intersect_mesh_wide(origin, direction, wide, last_hit_triangle=None,
     state = (cur0, depth0, bases0, masks0, best_tri0, best_d0)
 
     if not two_phase or n < MIN_TWO_PHASE:
-        body = _unrolled(_make_body(wide, rays))
+        body = _unrolled(_make_body(wide, rays), n)
         state = jax.lax.while_loop(_any_active, body, state)
         return state[4], state[5]
 
@@ -542,7 +553,7 @@ def intersect_mesh_instanced(origin, direction, inst,
              loc0, izero + IBIG, izero)
 
     if not two_phase or n < MIN_TWO_PHASE:
-        body = _unrolled(_make_body_inst(inst, rays))
+        body = _unrolled(_make_body_inst(inst, rays), n)
         state = jax.lax.while_loop(_any_active, body, state)
         return state[4], state[5]
 
@@ -660,13 +671,14 @@ def _staged_query(body_factory, accel, rays, state, stages):
     phases, compacting survivors into a static prefix slice between
     phases (all device-side). Returns the final state, lane-aligned with
     the inputs."""
+    n = rays[0].shape[0]
     if not stages:
-        body = _unrolled(body_factory(accel, rays))
+        body = _unrolled(body_factory(accel, rays), n)
         return jax.lax.while_loop(_any_active, body, state)
 
-    n = rays[0].shape[0]
     iters, div = stages[0]
-    body = _unrolled(body_factory(accel, rays))
+    unroll = _unroll_for(n)
+    body = _unrolled(body_factory(accel, rays), n, unroll)
 
     def cond1(carry):
         i, st = carry
@@ -674,13 +686,13 @@ def _staged_query(body_factory, accel, rays, state, stages):
 
     def body1(carry):
         i, st = carry
-        return i + max(TRAV_UNROLL, 1), body(st)
+        return i + unroll, body(st)
 
     _, state = jax.lax.while_loop(cond1, body1, (0, state))
 
     m = n // div
     if m < MIN_TWO_PHASE // COMPACT_DIVISOR:
-        body = _unrolled(body_factory(accel, rays))
+        body = _unrolled(body_factory(accel, rays), n)
         return jax.lax.while_loop(_any_active, body, state)
 
     dest, perm = _compact_perm(state[0] >= 0)
@@ -698,7 +710,7 @@ def _staged_query(body_factory, accel, rays, state, stages):
 
     # overflow fallback: survivors beyond the slice (rare) finish at
     # this stage's full width
-    body_p = _unrolled(body_factory(accel, rays_p))
+    body_p = _unrolled(body_factory(accel, rays_p), n)
     state_p = jax.lax.while_loop(_any_active, body_p, state_p)
 
     # un-permute back to the caller's lane order (also a gather)

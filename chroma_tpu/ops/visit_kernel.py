@@ -28,7 +28,10 @@ from jax.experimental.pallas import tpu as pltpu
 EPSILON = 1e-6
 FLT_EPSILON = 1.19209290e-07
 
-TB = 8          # sublane-tile rows per grid step (TB*128 lanes)
+# sublane-tile rows per grid step (TB*128 lanes). Bigger tiles amortize
+# the per-grid-step pipeline overhead; VMEM per step is ~(W + ~40 state
+# rows) * TB * 128 * 4 B * 2 (double buffering) — TB=32 uses ~9 MB.
+TB = int(os.environ.get('CHROMA_PALLAS_TB', '16'))
 
 # enabled on TPU-like backends unless overridden; tests on CPU exercise it
 # through interpret mode via the correctness test

@@ -24,7 +24,7 @@ from collections import defaultdict
 
 
 class RegionStats(object):
-    __slots__ = ('calls', 'total', 'min', 'max', 'last')
+    __slots__ = ('calls', 'total', 'min', 'max', 'last', 'first')
 
     def __init__(self):
         self.calls = 0
@@ -32,8 +32,11 @@ class RegionStats(object):
         self.min = float('inf')
         self.max = 0.0
         self.last = 0.0
+        self.first = 0.0   # first call: compile + run on a jit boundary
 
     def add(self, dt):
+        if self.calls == 0:
+            self.first = dt
         self.calls += 1
         self.total += dt
         self.min = min(self.min, dt)
@@ -71,14 +74,14 @@ class Profiler(object):
             print('profiler: nothing recorded', file=out)
             return
         rows = sorted(self.regions.items(), key=lambda kv: -kv[1].total)
-        print('%-32s %8s %10s %10s %10s %10s'
+        print('%-32s %8s %10s %10s %10s %10s %10s'
               % ('region', 'calls', 'total_ms', 'mean_ms', 'min_ms',
-                 'max_ms'), file=out)
+                 'max_ms', 'first_ms'), file=out)
         for name, st in rows:
-            print('%-32s %8d %10.1f %10.2f %10.2f %10.2f'
+            print('%-32s %8d %10.1f %10.2f %10.2f %10.2f %10.2f'
                   % (name, st.calls, st.total * 1e3,
                      st.total / st.calls * 1e3, st.min * 1e3,
-                     st.max * 1e3), file=out)
+                     st.max * 1e3, st.first * 1e3), file=out)
         for name in sorted(self.counters):
             print('%-32s %12d' % (name, self.counters[name]), file=out)
 

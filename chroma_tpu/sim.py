@@ -82,14 +82,17 @@ class Simulation(object):
         Events. Events are grouped into >= photons_per_batch batches to
         amortize transfer and launch overhead (reference: sim.py:225-278).
         """
-        if isinstance(iterable, event.Photons):
+        from chroma_tpu.ops.photon import PhotonState
+        if isinstance(iterable, (event.Photons, PhotonState)):
             first_element, iterable = iterable, [iterable]
         else:
             first_element, iterable = itertoolset.peek(iterable)
 
         if isinstance(first_element, event.Event):
             pass
-        elif isinstance(first_element, event.Photons):
+        elif isinstance(first_element, (event.Photons, PhotonState)):
+            # PhotonState inputs stay device-resident end to end
+            # (reference: gpu/photon.py:66-95 GPU-array sources)
             iterable = (event.Event(photons_beg=x) for x in iterable)
         elif isinstance(first_element, event.Vertex):
             raise NotImplementedError(
@@ -100,7 +103,8 @@ class Simulation(object):
         batch_events = []
         for ev in iterable:
             ev.nphotons = len(ev.photons_beg)
-            ev.photons_beg.evidx[:] = np.uint32(len(batch_events))
+            if isinstance(ev.photons_beg, event.Photons):
+                ev.photons_beg.evidx[:] = np.uint32(len(batch_events))
             nphotons += ev.nphotons
             batch_events.append(ev)
 
@@ -127,13 +131,30 @@ class Simulation(object):
         "Propagate one batch of events and attach results."
         t_start = time.perf_counter()
 
+        from chroma_tpu.ops.photon import PhotonState
         photon_sources = [ev.photons_beg for ev in batch_events]
         batch_bounds = np.cumsum([0] + [len(src) for src in photon_sources])
-        batch = event.Photons.join(photon_sources) \
-            if len(photon_sources) > 1 else photon_sources[0]
+        nbatch = int(batch_bounds[-1])
 
-        with profiler.region('sim.upload'):
-            state = photon_state_from_host(batch)
+        if any(isinstance(src, PhotonState) for src in photon_sources):
+            # device-resident sources: stamp evidx and stack on device,
+            # no host round trip (reference: sim.py:156-223)
+            import jax.numpy as jnp
+            from chroma_tpu.gpu import join_states
+            with profiler.region('sim.upload'):
+                states = []
+                for i, src in enumerate(photon_sources):
+                    st = src if isinstance(src, PhotonState) \
+                        else photon_state_from_host(src)
+                    states.append(st.replace(
+                        evidx=jnp.full(len(st), i, jnp.uint32)))
+                state = join_states(states) if len(states) > 1 \
+                    else states[0]
+        else:
+            batch = event.Photons.join(photon_sources) \
+                if len(photon_sources) > 1 else photon_sources[0]
+            with profiler.region('sim.upload'):
+                state = photon_state_from_host(batch)
         key = self._next_key()
 
         result = propagate(state, self.gpu_geometry, key,
@@ -146,17 +167,20 @@ class Simulation(object):
 
         if verbose:
             logger.info('batch of %d photons took %.2f s'
-                        % (len(batch), time.perf_counter() - t_start))
+                        % (nbatch, time.perf_counter() - t_start))
 
-        photons_end = photon_state_to_host(result)
+        with profiler.region('sim.readback'):
+            photons_end = photon_state_to_host(result)
 
         if self.has_channels and (keep_hits or keep_flat_hits):
-            channel = daq_ops.photon_channels(
-                photons_end, self.detector.solid_id,
-                np.asarray(self.detector.solid_id_to_channel_index))
-            photons_end.channel = np.maximum(channel, 0).astype(np.uint32)
-            detected = channel >= 0
-            batch_hits = photons_end[detected]
+            with profiler.region('sim.hit_extraction'):
+                channel = daq_ops.photon_channels(
+                    photons_end, self.detector.solid_id,
+                    np.asarray(self.detector.solid_id_to_channel_index))
+                photons_end.channel = np.maximum(channel,
+                                                 0).astype(np.uint32)
+                detected = channel >= 0
+                batch_hits = photons_end[detected]
 
         for i, ev in enumerate(batch_events):
             start, end = batch_bounds[i], batch_bounds[i + 1]
@@ -179,11 +203,13 @@ class Simulation(object):
                     ev.flat_hits = ev_hits
 
             if self.has_channels and run_daq:
-                ev_state = jax.tree_util.tree_map(
-                    lambda a: a[start:end], result)
-                arrays = daq_ops.run_daq(ev_state, self.gpu_geometry,
-                                         jax.random.fold_in(key, 7000 + i))
-                ev.channels = daq_ops.channels_to_host(arrays)
+                with profiler.region('sim.daq'):
+                    ev_state = jax.tree_util.tree_map(
+                        lambda a: a[start:end], result)
+                    arrays = daq_ops.run_daq(
+                        ev_state, self.gpu_geometry,
+                        jax.random.fold_in(key, 7000 + i))
+                    ev.channels = daq_ops.channels_to_host(arrays)
 
             yield ev
 
@@ -216,10 +242,10 @@ class Simulation(object):
         accum = pdf_ops.PDFAccumulator(self.gpu_geometry, tbins, trange,
                                        qbins, qrange)
         for ev in iterable:
+            state0 = self._source_state(ev.photons_beg)
             for _ in range(nreps):
-                state = photon_state_from_host(ev.photons_beg)
                 key = self._next_key()
-                result = propagate(state, self.gpu_geometry, key,
+                result = propagate(state0, self.gpu_geometry, key,
                                    max_steps=100)
                 arrays = daq_ops.run_daq(result, self.gpu_geometry,
                                          jax.random.fold_in(key, 1),
@@ -245,10 +271,10 @@ class Simulation(object):
                             qrange, min_bin_content=min_bin_content,
                             time_only=time_only)
         for ev in iterable:
+            state0 = self._source_state(ev.photons_beg)
             for _ in range(nreps):
-                state = photon_state_from_host(ev.photons_beg)
                 key = self._next_key()
-                result = propagate(state, self.gpu_geometry, key,
+                result = propagate(state0, self.gpu_geometry, key,
                                    max_steps=100)
                 arrays = daq_ops.run_daq(result, self.gpu_geometry,
                                          jax.random.fold_in(key, 1),
@@ -287,9 +313,18 @@ class Simulation(object):
                 self._kernel.accumulate_kernel(arrays)
         return self._kernel.get_kernel_eval()
 
+    def _source_state(self, photons):
+        """Upload once (or pass through an already-device PhotonState) so
+        likelihood loops re-propagate without host round trips
+        (reference: gpu/photon.py:66-95 device-resident sources)."""
+        from chroma_tpu.ops.photon import PhotonState
+        if isinstance(photons, PhotonState):
+            return photons
+        return photon_state_from_host(photons)
+
     def _run_daq_once(self, ev, ndaq):
         "Propagate one event's photons and run the DAQ (ndaq replicas)."
-        state = photon_state_from_host(ev.photons_beg)
+        state = self._source_state(ev.photons_beg)
         key = self._next_key()
         result = propagate(state, self.gpu_geometry, key, max_steps=100)
         return daq_ops.run_daq(result, self.gpu_geometry,

@@ -32,7 +32,7 @@ def _flags(quick):
         return (4000.0, 4500.0, 400.0)
     return (float(os.environ.get('CHROMA_BENCH_PMT_RADIUS', 14000.0)),
             float(os.environ.get('CHROMA_BENCH_SPHERE_RADIUS', 14500.0)),
-            float(os.environ.get('CHROMA_BENCH_SPIRAL_STEP', 290.0)))
+            float(os.environ.get('CHROMA_BENCH_SPIRAL_STEP', 205.0)))
 
 
 def build_detector(quick=False):

@@ -60,3 +60,41 @@ def test_round_trip():
         assert r.jump_to(2).id == 2
         assert r.prev().id == 1
         assert r.jump_to(99) is None
+
+
+def test_root_bridge_round_trip():
+    "Reference-schema ROOT I/O (skipped without PyROOT)."
+    import pytest
+    pytest.importorskip('ROOT')
+    import tempfile
+    import numpy as np
+    from chroma_tpu import event
+    from chroma_tpu.io.root import RootReader, RootWriter
+
+    rs = np.random.RandomState(0)
+    n = 64
+    ph = event.Photons(pos=rs.randn(n, 3), dir=rs.randn(n, 3),
+                       pol=rs.randn(n, 3),
+                       wavelengths=rs.uniform(300, 700, n),
+                       t=rs.rand(n),
+                       flags=rs.randint(0, 1 << 16, n).astype(np.uint32),
+                       last_hit_triangles=rs.randint(-1, 99, n))
+    chan = event.Channels(hit=np.array([True, False, True]),
+                          t=np.array([1.0, 0.0, 3.5], np.float32),
+                          q=np.array([0.7, 0.0, 2.0], np.float32),
+                          flags=np.array([3, 0, 5], np.uint32))
+    ev = event.Event(id=7, photons_beg=ph, channels=chan)
+
+    with tempfile.NamedTemporaryFile(suffix='.root') as f:
+        w = RootWriter(f.name)
+        w.write_event(ev)
+        w.close()
+        r = RootReader(f.name)
+        assert len(r) == 1
+        back = next(iter(r))
+        assert back.id == 7
+        np.testing.assert_allclose(back.photons_beg.pos, ph.pos,
+                                   rtol=1e-6)
+        np.testing.assert_array_equal(back.photons_beg.flags, ph.flags)
+        assert back.channels.hit.sum() == 2
+        np.testing.assert_allclose(back.channels.q[2], 2.0, rtol=1e-6)

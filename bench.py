@@ -124,19 +124,13 @@ def measure_rays(ga, nrays, reps):
     return nrays / best
 
 
-def main():
-    from chroma_tpu.tpu_util import wait_for_tpu
-    wait_for_tpu()
+def run_config(quick, nphotons, reps):
+    "Measure one detector config; returns a metrics dict."
     import numpy as np
-    import jax
     from chroma_tpu.ops.types import build_geometry_arrays
     from chroma_tpu.ops.propagate import propagate
     from chroma_tpu.ops.sample import make_key
     from chroma_tpu import event
-
-    quick = bool(int(os.environ.get('CHROMA_BENCH_QUICK', '0')))
-    nphotons = int(os.environ.get('CHROMA_BENCH_PHOTONS', 1 << 20))
-    reps = int(os.environ.get('CHROMA_BENCH_REPS', 3))
 
     geo = build_detector(quick)
     ga = build_geometry_arrays(geo)
@@ -168,8 +162,7 @@ def main():
     rays_per_sec = measure_rays(ga, nphotons, max(reps - 1, 1))
     print('# BVH ray throughput: %.2f Mrays/s' % (rays_per_sec / 1e6),
           file=sys.stderr)
-
-    extra = {
+    return {
         'photon_propagation_throughput': round(value, 1),
         'photons_per_sec_vs_baseline': round(
             value / BASELINE_PHOTONS_PER_SEC, 4),
@@ -178,6 +171,18 @@ def main():
         'detector_triangles': int(len(geo.mesh.triangles)),
         'nphotons': nphotons,
     }
+
+
+def _emit(metrics):
+    print(json.dumps({
+        'metric': 'photon_propagation_throughput',
+        'value': metrics['photon_propagation_throughput'],
+        'unit': 'photons/s/chip',
+        'vs_baseline': metrics['photons_per_sec_vs_baseline'],
+    }), flush=True)
+
+
+def _write_extra(extra):
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                'BENCH_EXTRA.json'), 'w') as f:
@@ -185,12 +190,25 @@ def main():
     except Exception:
         pass
 
-    print(json.dumps({
-        'metric': 'photon_propagation_throughput',
-        'value': round(value, 1),
-        'unit': 'photons/s/chip',
-        'vs_baseline': round(value / BASELINE_PHOTONS_PER_SEC, 4),
-    }))
+
+def main():
+    from chroma_tpu.tpu_util import wait_for_tpu
+    wait_for_tpu()
+
+    quick_only = bool(int(os.environ.get('CHROMA_BENCH_QUICK', '0')))
+    nphotons = int(os.environ.get('CHROMA_BENCH_PHOTONS', 1 << 20))
+    reps = int(os.environ.get('CHROMA_BENCH_REPS', 3))
+
+    # quick config first so a partial run still reports a throughput
+    # line; the headline (~29k-PMT / ~170M-triangle) config follows and,
+    # when it completes, replaces it as the final (driver-parsed) line
+    extra = {'quick': run_config(True, nphotons, reps)}
+    _write_extra(extra)
+    _emit(extra['quick'])
+    if not quick_only:
+        extra['headline'] = run_config(False, nphotons, reps)
+        _write_extra(extra)
+        _emit(extra['headline'])
 
 
 if __name__ == '__main__':

@@ -370,7 +370,9 @@ def _make_body_inst(inst, rays):
     world_loc = org_c + dir_c + inv_c + neg_c + fin_c
 
     from chroma_tpu.ops import visit_kernel
-    if visit_kernel.enabled(n):
+    # the kernel's int32 bitmask arithmetic (1 << c, float-exponent ctz)
+    # needs the sign bit free, so fanouts of 32 take the jnp body
+    if visit_kernel.enabled(n) and f < 32:
         return _make_body_inst_pallas(inst, rays, world_loc)
 
     def body(state):

@@ -100,18 +100,25 @@ def propagate_and_daq_sharded(photons, geometry, key, max_steps=100,
         ph = _local_steps(ph, geom, key, max_steps, use_weights,
                           scatter_first)
         local = daq_ops.run_daq(ph, geom, jax.random.fold_in(key, 0x7fffffff))
-        earliest = jax.lax.pmin(local.earliest_time, AXIS)
-        charge = jax.lax.psum(local.charge, AXIS)
-        # cross-chip history OR: per-bit psum then recombine (replication
-        # of the result is statically inferable, unlike a gathered reduce)
-        bits = (local.histories[:, None]
-                >> jnp.arange(32, dtype=jnp.uint32)[None, :]) & jnp.uint32(1)
-        bit_any = jax.lax.psum(bits.astype(jnp.int32), AXIS) > 0
-        histories = jnp.sum(
-            bit_any.astype(jnp.uint32)
-            << jnp.arange(32, dtype=jnp.uint32)[None, :],
-            axis=1, dtype=jnp.uint32)
-        return ph, local.replace(earliest_time=earliest, charge=charge,
-                                 histories=histories)
+        return ph, reduce_channel_arrays(local)
 
     return run(photons, geometry, key)
+
+
+def reduce_channel_arrays(local):
+    """Combine per-shard ChannelArrays across the photon mesh axis with the
+    reference's exact atomic semantics (reference: cuda/daq.cu:73-75):
+    earliest time -> pmin, charge -> psum, history -> bitwise OR (per-bit
+    psum then recombine: the replication of the result is statically
+    inferable, unlike a gathered reduce). Call inside shard_map."""
+    earliest = jax.lax.pmin(local.earliest_time, AXIS)
+    charge = jax.lax.psum(local.charge, AXIS)
+    bits = (local.histories[:, None]
+            >> jnp.arange(32, dtype=jnp.uint32)[None, :]) & jnp.uint32(1)
+    bit_any = jax.lax.psum(bits.astype(jnp.int32), AXIS) > 0
+    histories = jnp.sum(
+        bit_any.astype(jnp.uint32)
+        << jnp.arange(32, dtype=jnp.uint32)[None, :],
+        axis=1, dtype=jnp.uint32)
+    return local.replace(earliest_time=earliest, charge=charge,
+                         histories=histories)

@@ -83,3 +83,38 @@ def test_daq_reduction_matches_single_device(detector_arrays):
     local = daq_ops.run_daq(out, detector_arrays, jax.random.key(1))
     assert hist[0] & np.uint32(event.SURFACE_DETECT)
     assert np.asarray(local.histories)[0] & np.uint32(event.SURFACE_DETECT)
+
+
+def test_channel_reduction_bitwise_equal():
+    """The ICI channel reduction must be BITWISE identical to a
+    single-device reduction of the same per-shard readouts: elementwise
+    min of times, sum of charges, OR of histories (the reference's
+    atomicMin/Add/Or semantics, cuda/daq.cu:73-75)."""
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+    from chroma_tpu.parallel.sharding import (AXIS, photon_mesh,
+                                              reduce_channel_arrays)
+
+    nshards, nch = 8, 37
+    rs = np.random.RandomState(4)
+    # integer-valued floats: any psum order reduces exactly
+    times = rs.randint(1, 1 << 20, (nshards, nch)).astype(np.float32)
+    charges = rs.randint(0, 1 << 10, (nshards, nch)).astype(np.float32)
+    hists = rs.randint(0, 1 << 31, (nshards, nch)).astype(np.uint32)
+
+    mesh = photon_mesh(nshards)
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+             out_specs=P())
+    def reduce(t, q, h):
+        local = daq_ops.ChannelArrays(earliest_time=t[0], charge=q[0],
+                                      histories=h[0])
+        out = reduce_channel_arrays(local)
+        return out.earliest_time, out.charge, out.histories
+
+    t, q, h = reduce(times, charges, hists)
+    np.testing.assert_array_equal(np.asarray(t), times.min(axis=0))
+    np.testing.assert_array_equal(np.asarray(q), charges.sum(axis=0))
+    expect_or = np.bitwise_or.reduce(hists, axis=0)
+    np.testing.assert_array_equal(np.asarray(h), expect_or)

@@ -192,7 +192,8 @@ def _write_extra(extra):
 
 
 def main():
-    from chroma_tpu.tpu_util import wait_for_tpu
+    from chroma_tpu.tpu_util import wait_for_tpu, enable_persistent_cache
+    enable_persistent_cache()
     wait_for_tpu()
 
     quick_only = bool(int(os.environ.get('CHROMA_BENCH_QUICK', '0')))

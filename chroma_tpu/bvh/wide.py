@@ -447,7 +447,7 @@ def _blas_rows(mesh, fanout, leaf_size, width, sah_threshold):
 
 
 def build_instanced_bvh(instances, fanout=FANOUT, leaf_size=LEAF_SIZE,
-                        sah_threshold=200000):
+                        sah_threshold=200000, want_meta=False):
     """Build a two-level (TLAS/BLAS) tagged wide BVH.
 
     instances: list of (mesh, rotation, displacement, tri_base) — the
@@ -456,6 +456,12 @@ def build_instanced_bvh(instances, fanout=FANOUT, leaf_size=LEAF_SIZE,
     triangle index in the flattened soup. Non-rigid placements are baked
     into a world-frame copy of the mesh. Meshes are shared by object
     identity: N placements of one mesh share one BLAS.
+
+    With want_meta=True also returns a host-side dict describing the
+    resolved instances (after baking): 'mesh_index' (n_inst,) i32 into
+    'unique_meshes', 'rot_l2w' (n_inst,3,3) f32, 'tri_base' (n_inst,) i64
+    — the inputs the lean per-instance geometry arrays are built from
+    (chroma_tpu.ops.types.build_instance_arrays).
     """
     width = max(6 * fanout + 2, 10 * leaf_size, 14) + 1
     ident = np.identity(3, np.float32)
@@ -481,6 +487,12 @@ def build_instanced_bvh(instances, fanout=FANOUT, leaf_size=LEAF_SIZE,
             unique.append(mesh)
         inst.append((mesh_index[key], rot.T.astype(np.float32),
                      disp.astype(np.float32), int(tri_base)))
+    meta = dict(
+        unique_meshes=unique,
+        mesh_index=np.asarray([i[0] for i in inst], np.int32),
+        rot_l2w=np.stack([i[1].T for i in inst]).astype(np.float32),
+        tri_base=np.asarray([i[3] for i in inst], np.int64),
+    ) if want_meta else None
 
     # per-unique-mesh BLAS (local frame)
     blas = [_blas_rows(m, fanout, leaf_size, width, sah_threshold)
@@ -545,10 +557,13 @@ def build_instanced_bvh(instances, fanout=FANOUT, leaf_size=LEAF_SIZE,
     blas_depth = max((d for _r, d in blas), default=0)
     max_depth = tlas_depth + 1 + 1 + blas_depth + 1
 
-    return InstancedBVH(
+    built = InstancedBVH(
         rows=jnp.asarray(table),
         max_depth=int(max_depth),
         fanout=fanout,
         leaf_size=leaf_size,
         n_instances=n_inst,
     )
+    if want_meta:
+        return built, meta
+    return built

@@ -59,8 +59,12 @@ class GPUGeometry(object):
     def print_device_usage(self):
         rows = self.arrays.wide.rows if self.arrays.wide is not None \
             else self.arrays.nodes
+        if self.arrays.triangles is not None:
+            ntri = len(self.arrays.triangles)
+        else:
+            ntri = int(self.arrays.inst.tri_base[-1])
         print('device geometry: %d triangles, %.1f MB acceleration rows'
-              % (len(self.arrays.triangles), rows.size * 4 / 1e6))
+              % (ntri, rows.size * 4 / 1e6))
 
 
 class GPUDetector(GPUGeometry):

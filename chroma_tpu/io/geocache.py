@@ -1,0 +1,102 @@
+"""Fast on-disk cache of device-ready GeometryArrays.
+
+The reference caches host geometries/BVHs as pickles (reference:
+chroma/cache.py, chroma/loader.py:131-160); at the headline scale
+(~170M triangles) unpickling the host Geometry alone takes ~a minute.
+This module instead persists the *device* representation — the wide-BVH
+row table, optics tables and lean per-instance arrays — as one .npz of
+plain numpy arrays plus a JSON sidecar of static (non-pytree) fields.
+A lean instanced detector reloads in well under a second regardless of
+triangle count, because nothing O(triangles) is stored.
+
+Round-trips any GeometryArrays, including dense (non-lean) ones; nested
+flax.struct dataclasses are walked generically via dataclasses.fields.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+FORMAT_VERSION = 1
+
+
+def _registry():
+    from chroma_tpu.ops import types as T
+    from chroma_tpu.bvh import wide as W
+    return {
+        'GeometryArrays': T.GeometryArrays,
+        'MaterialTables': T.MaterialTables,
+        'SurfaceTables': T.SurfaceTables,
+        'WirePlaneArrays': T.WirePlaneArrays,
+        'DetectorArrays': T.DetectorArrays,
+        'InstanceArrays': T.InstanceArrays,
+        'InstancedBVH': W.InstancedBVH,
+        'WideBVH': W.WideBVH,
+    }
+
+
+def _flatten(obj, prefix, arrays, meta):
+    cls = type(obj).__name__
+    meta[prefix + '.__class__'] = cls
+    for f in dataclasses.fields(obj):
+        key = prefix + '.' + f.name
+        v = getattr(obj, f.name)
+        if v is None:
+            meta[key] = None
+        elif dataclasses.is_dataclass(v):
+            _flatten(v, key, arrays, meta)
+        elif isinstance(v, (jnp.ndarray, np.ndarray)):
+            arrays[key] = np.asarray(v)
+        else:  # static field: int/float/bool/str/tuple
+            meta[key] = ['static', v if not isinstance(v, tuple)
+                         else list(v)]
+
+
+def _unflatten(prefix, arrays, meta, registry, static_tuples):
+    cls = registry[meta[prefix + '.__class__']]
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        key = prefix + '.' + f.name
+        if key in arrays:
+            kwargs[f.name] = jnp.asarray(arrays[key])
+        elif key + '.__class__' in meta:
+            kwargs[f.name] = _unflatten(key, arrays, meta, registry,
+                                        static_tuples)
+        else:
+            v = meta.get(key)
+            if v is None:
+                kwargs[f.name] = None
+            else:
+                val = v[1]
+                if isinstance(val, list):
+                    val = tuple(val)
+                kwargs[f.name] = val
+    return cls(**kwargs)
+
+
+def save_geometry_arrays(path, ga):
+    "Persist a GeometryArrays as <path>.npz + <path>.json."
+    arrays = {}
+    meta = {'__version__': FORMAT_VERSION}
+    _flatten(ga, 'ga', arrays, meta)
+    np.savez(path + '.npz', **arrays)
+    with open(path + '.json', 'w') as f:
+        json.dump(meta, f)
+
+
+def load_geometry_arrays(path):
+    "Load a GeometryArrays saved by save_geometry_arrays (or None)."
+    if not (os.path.exists(path + '.npz')
+            and os.path.exists(path + '.json')):
+        return None
+    with open(path + '.json') as f:
+        meta = json.load(f)
+    if meta.get('__version__') != FORMAT_VERSION:
+        return None
+    with np.load(path + '.npz') as zf:
+        arrays = {k: zf[k] for k in zf.files}
+    return _unflatten('ga', arrays, meta, _registry(), True)

@@ -34,6 +34,18 @@ class ChannelArrays:
     histories: jnp.ndarray      # u32 OR of contributing photon flags
 
 
+def tri_solid(geometry, tri):
+    """Owning solid index of each hit triangle (device). Lean instanced
+    geometries derive it by binary search over the instance triangle
+    ranges (instance i IS solid i); dense geometries gather the reference
+    per-triangle solid_id map."""
+    safe = jnp.maximum(tri, 0)
+    if getattr(geometry, 'inst', None) is not None:
+        return jnp.searchsorted(geometry.inst.tri_base, safe,
+                                side='right').astype(jnp.int32) - 1
+    return geometry.solid_id[safe]
+
+
 def _segment_or(values, segment_ids, num_segments):
     "Bitwise OR of uint32 values per segment via per-bit segment_max."
     bits = (values[:, None] >> jnp.arange(32, dtype=jnp.uint32)[None, :]) \
@@ -59,7 +71,7 @@ def run_daq(photons, geometry, key, ndaq=1, global_weight=1.0,
 
     tri = photons.last_hit_triangle
     terminated_on_surface = tri > -1
-    solid = geometry.solid_id[jnp.maximum(tri, 0)]
+    solid = tri_solid(geometry, tri)
     channel = det.solid_id_to_channel_index[solid]
     detected = (terminated_on_surface & (channel >= 0)
                 & ((photons.flags & jnp.uint32(detection_state)) != 0))
@@ -121,7 +133,7 @@ def photon_channels_device(state, geometry_arrays):
 
     tri = state.last_hit_triangle
     valid = tri > -1
-    solid = geometry_arrays.solid_id[jnp.maximum(tri, 0)]
+    solid = tri_solid(geometry_arrays, tri)
     channel = geometry_arrays.detector.solid_id_to_channel_index[solid]
     detected = (valid & (channel >= 0)
                 & ((state.flags & jnp.uint32(_SD)) != 0))

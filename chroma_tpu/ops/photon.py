@@ -245,16 +245,34 @@ def fill_state(photons, geometry, active, best_limit=None, pruned=None,
 
     any_hit = hit | use_analytic
 
-    # mesh boundary context (two gathers: packed codes + precomputed
-    # normals; reference recomputes the normal from three vertex fetches,
-    # photon.h:355-367)
+    # mesh boundary context. Lean instanced geometries resolve the code +
+    # normal through small per-unique-mesh tables (searchsorted for the
+    # owning instance, then two unique-soup gathers + a 9-element rotation
+    # row); the dense path keeps the reference-style per-triangle gathers
+    # (reference recomputes the normal from three vertex fetches,
+    # photon.h:355-367).
     safe_tri = jnp.where(hit, tri, 0)
-    code = geometry.material_codes[safe_tri]
+    if geometry.inst is not None:
+        ia = geometry.inst
+        iidx = jnp.searchsorted(ia.tri_base, safe_tri,
+                                side='right').astype(jnp.int32) - 1
+        u_idx = safe_tri + ia.soup_off[iidx]
+        code = ia.codes_u[u_idx]
+        nloc = ia.normals_u[u_idx]
+        R = ia.rot_n[iidx]                       # (N,9) det * R_l2w
+        face_normal = jnp.stack(
+            [R[:, 0] * nloc[:, 0] + R[:, 1] * nloc[:, 1]
+             + R[:, 2] * nloc[:, 2],
+             R[:, 3] * nloc[:, 0] + R[:, 4] * nloc[:, 1]
+             + R[:, 5] * nloc[:, 2],
+             R[:, 6] * nloc[:, 0] + R[:, 7] * nloc[:, 1]
+             + R[:, 8] * nloc[:, 2]], axis=1)
+    else:
+        code = geometry.material_codes[safe_tri]
+        face_normal = geometry.tri_normals[safe_tri]
     inner = _sext8(code >> jnp.uint32(24))
     outer = _sext8(code >> jnp.uint32(16))
     surf = _sext8(code >> jnp.uint32(8))
-
-    face_normal = geometry.tri_normals[safe_tri]
 
     outside = dot(face_normal, -photons.dir) > 0.0
     normal = jnp.where(outside[:, None], face_normal, -face_normal)

@@ -147,8 +147,34 @@ class DetectorArrays:
 
 
 @struct.dataclass
+class InstanceArrays:
+    """Per-instance lean geometry: replaces the O(triangles) world-frame
+    arrays (tri_normals / material_codes / solid_id) with per-unique-mesh
+    local arrays plus per-instance transforms. At the reference's headline
+    scale (29k PMTs, ~170M triangles) this shrinks the device geometry
+    from ~7 GB of per-triangle arrays to a few MB, and the hot-path
+    gathers hit small tables (measured ~30% faster under ~60 MB).
+
+    A global triangle id resolves as:
+      i      = searchsorted(tri_base, tri, 'right') - 1   # owning instance
+      local  = tri + soup_off[i]                          # unique-soup row
+      code   = codes_u[local]; n_world = rot_n[i] @ normals_u[local]
+    and the owning instance IS the reference's per-triangle solid id
+    (reference: chroma/geometry.py flatten solid_id).
+    """
+    tri_base: jnp.ndarray   # (n_inst+1,) i32 first triangle per instance
+    soup_off: jnp.ndarray   # (n_inst,) i32: soup index = tri + soup_off
+    rot_n: jnp.ndarray      # (n_inst, 9) f32 det(R) * R_local->world
+    codes_u: jnp.ndarray    # (U,) u32 packed material codes, unique soup
+    normals_u: jnp.ndarray  # (U, 3) f32 unit local-frame normals
+    n_instances: int = struct.field(pytree_node=False)
+
+
+@struct.dataclass
 class GeometryArrays:
-    """The full device geometry."""
+    """The full device geometry. The per-triangle world-frame arrays
+    (vertices..solid_id) are None for lean instanced geometries — every
+    hot path then goes through `inst` instead."""
     vertices: jnp.ndarray        # (V,3) f32
     triangles: jnp.ndarray       # (T,3) i32
     # per-triangle geometric normals (winding convention of
@@ -170,6 +196,9 @@ class GeometryArrays:
     # geometry still carries its placed solids, else monolithic;
     # None falls back to the DFS walk
     wide: InstancedBVH | WideBVH | None
+
+    # lean per-instance arrays (None unless the wide BVH is instanced)
+    inst: InstanceArrays | None
 
     materials: MaterialTables
     surfaces: SurfaceTables
@@ -424,8 +453,68 @@ def build_detector_arrays(detector):
     )
 
 
+def build_instance_arrays(meta, material_codes):
+    """Build lean per-instance arrays from build_instanced_bvh metadata.
+
+    Instances are grouped into a deduplicated "unique soup" keyed by
+    (unique mesh, per-triangle material codes): N placements of the same
+    PMT contribute its local normals and codes once. `material_codes` is
+    the flat per-triangle packed-code array (only the slices of group
+    representatives are read)."""
+    mesh_index = meta['mesh_index']
+    rot_l2w = meta['rot_l2w']
+    tri_base = meta['tri_base']
+    unique_meshes = meta['unique_meshes']
+    n_inst = len(mesh_index)
+
+    counts = np.asarray(
+        [len(unique_meshes[mi].triangles) for mi in mesh_index], np.int64)
+
+    # group instances by (mesh, codes content)
+    group_of = np.empty(n_inst, np.int64)
+    group_key = {}
+    group_rep = []  # representative instance per group
+    for i in range(n_inst):
+        codes = material_codes[tri_base[i]:tri_base[i] + counts[i]]
+        key = (int(mesh_index[i]), codes.tobytes())
+        g = group_key.setdefault(key, len(group_rep))
+        if g == len(group_rep):
+            group_rep.append(i)
+        group_of[i] = g
+
+    ubase = np.cumsum([0] + [counts[r] for r in group_rep])
+    codes_u = np.empty(ubase[-1], np.uint32)
+    normals_u = np.empty((ubase[-1], 3), np.float32)
+    for g, r in enumerate(group_rep):
+        s = slice(ubase[g], ubase[g + 1])
+        codes_u[s] = material_codes[tri_base[r]:tri_base[r] + counts[r]]
+        mesh = unique_meshes[mesh_index[r]]
+        pts = mesh.vertices[mesh.triangles.astype(np.int64)]
+        raw = np.cross(pts[:, 1] - pts[:, 0], pts[:, 2] - pts[:, 1])
+        ln = np.linalg.norm(raw, axis=1, keepdims=True)
+        normals_u[s] = (raw / np.where(ln > 0, ln, 1.0)).astype(np.float32)
+
+    # normal rotation: det(R) * R_l2w (improper placements flip winding)
+    det = np.linalg.det(rot_l2w.astype(np.float64)).astype(np.float32)
+    rot_n = (rot_l2w * det[:, None, None]).reshape(n_inst, 9)
+
+    soup_off = (ubase[group_of] - tri_base).astype(np.int32)
+    bases = np.concatenate(
+        [tri_base, [tri_base[-1] + counts[-1]]]).astype(np.int32)
+
+    return InstanceArrays(
+        tri_base=jnp.asarray(bases),
+        soup_off=jnp.asarray(soup_off),
+        rot_n=jnp.asarray(rot_n.astype(np.float32)),
+        codes_u=jnp.asarray(codes_u),
+        normals_u=jnp.asarray(normals_u),
+        n_instances=n_inst,
+    )
+
+
 def build_geometry_arrays(geometry, wavelengths=None, times=None,
-                          use_wide_bvh=True, use_instancing=True):
+                          use_wide_bvh=True, use_instancing=True,
+                          lean=None):
     """Marshal a flattened host Geometry/Detector (with .bvh set) into
     device arrays. This is the analog of GPUGeometry.__init__
     (reference: chroma/gpu/geometry.py:14-526).
@@ -466,6 +555,7 @@ def build_geometry_arrays(geometry, wavelengths=None, times=None,
         wc_origin = geometry.mesh.vertices.min(axis=0)
         wc_scale = np.float32(1.0)
     wide = None
+    inst_arrays = None
     if use_wide_bvh:
         solids = getattr(geometry, 'solids', None) or []
         n_solid_tris = sum(len(s.mesh.triangles) for s in solids)
@@ -478,7 +568,9 @@ def build_geometry_arrays(geometry, wavelengths=None, times=None,
                 (s.mesh, geometry.solid_rotations[i],
                  geometry.solid_displacements[i], int(tri_base[i]))
                 for i, s in enumerate(solids)]
-            wide = build_instanced_bvh(instances)
+            wide, inst_meta = build_instanced_bvh(instances,
+                                                  want_meta=True)
+            inst_arrays = build_instance_arrays(inst_meta, material_codes)
         else:
             wide = build_wide_bvh(geometry.mesh)
 
@@ -488,25 +580,50 @@ def build_geometry_arrays(geometry, wavelengths=None, times=None,
 
     detector = build_detector_arrays(geometry)
 
-    tri_pts = geometry.mesh.vertices[geometry.mesh.triangles]
-    raw_normals = np.cross(tri_pts[:, 1] - tri_pts[:, 0],
-                           tri_pts[:, 2] - tri_pts[:, 1])
-    lengths = np.linalg.norm(raw_normals, axis=1, keepdims=True)
-    tri_normals = (raw_normals
-                   / np.where(lengths > 0, lengths, 1.0)).astype(np.float32)
+    # lean mode: skip the O(triangles) world-frame device arrays entirely
+    # — everything the hot path needs lives in `inst` (default at large
+    # scales, where building/uploading multi-GB per-triangle arrays would
+    # dominate; CHROMA_LEAN=0/1 forces it)
+    if lean is None:
+        env = os.environ.get('CHROMA_LEAN')
+        if env is not None:
+            lean = env != '0'
+        else:
+            lean = (inst_arrays is not None
+                    and len(geometry.mesh.triangles) >= 5_000_000)
+    lean = bool(lean) and inst_arrays is not None
+
+    if lean:
+        vertices = triangles = tri_normals_j = codes_j = None
+        colors = solid_id = None
+    else:
+        tri_pts = geometry.mesh.vertices[geometry.mesh.triangles]
+        raw_normals = np.cross(tri_pts[:, 1] - tri_pts[:, 0],
+                               tri_pts[:, 2] - tri_pts[:, 1])
+        lengths = np.linalg.norm(raw_normals, axis=1, keepdims=True)
+        tri_normals = (raw_normals
+                       / np.where(lengths > 0, lengths, 1.0)
+                       ).astype(np.float32)
+        vertices = jnp.asarray(geometry.mesh.vertices, dtype=jnp.float32)
+        triangles = jnp.asarray(geometry.mesh.triangles, dtype=jnp.int32)
+        tri_normals_j = jnp.asarray(tri_normals)
+        codes_j = jnp.asarray(material_codes)
+        colors = jnp.asarray(geometry.colors.astype(np.uint32))
+        solid_id = jnp.asarray(geometry.solid_id.astype(np.int32))
 
     return GeometryArrays(
-        vertices=jnp.asarray(geometry.mesh.vertices, dtype=jnp.float32),
-        triangles=jnp.asarray(geometry.mesh.triangles, dtype=jnp.int32),
-        tri_normals=jnp.asarray(tri_normals),
-        material_codes=jnp.asarray(material_codes),
-        colors=jnp.asarray(geometry.colors.astype(np.uint32)),
-        solid_id=jnp.asarray(geometry.solid_id.astype(np.int32)),
+        vertices=vertices,
+        triangles=triangles,
+        tri_normals=tri_normals_j,
+        material_codes=codes_j,
+        colors=colors,
+        solid_id=solid_id,
         nodes=jnp.asarray(dfs_nodes),
         escape=jnp.asarray(escape),
         world_origin=jnp.asarray(wc_origin, dtype=jnp.float32),
         world_scale=jnp.asarray(wc_scale, dtype=jnp.float32),
         wide=wide,
+        inst=inst_arrays,
         materials=build_material_tables(materials, wavelengths, times),
         surfaces=build_surface_tables(surfaces, wavelengths),
         wireplanes=wireplanes,

@@ -10,6 +10,28 @@ from __future__ import annotations
 import time
 
 
+def enable_persistent_cache(path=None):
+    """Point JAX at an on-disk compilation cache so repeated runs skip
+    the 10-40 s/shape remote compiles (the reference pays an analogous
+    one-time nvcc cost through PyCUDA's compiler cache,
+    reference: chroma/gpu/tools.py:45-63). Safe to call repeatedly.
+    Disable with CHROMA_JIT_CACHE=0."""
+    import os
+    env = os.environ.get('CHROMA_JIT_CACHE')
+    if env == '0':
+        return None
+    path = path or env or os.path.expanduser('~/.chroma/jax_cache')
+    try:
+        import jax
+        os.makedirs(path, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', path)
+        jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.2)
+    except Exception:
+        return None
+    return path
+
+
 def wait_for_tpu(timeout=360, poll=15):
     """Block until a JAX backend with devices initializes; returns the
     device list. Raises RuntimeError on timeout."""

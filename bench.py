@@ -35,37 +35,54 @@ def _flags(quick):
             float(os.environ.get('CHROMA_BENCH_SPIRAL_STEP', 205.0)))
 
 
-def build_detector(quick=False):
-    """Build (or load from the chroma cache) the benchmark detector. The
-    headline config takes ~10 min of host meshing at 86M triangles, so
-    the flattened geometry is cached keyed by its parameters."""
-    from chroma_tpu import demo
-    from chroma_tpu.loader import create_geometry_from_obj
+def build_arrays(quick=False):
+    """Device-ready GeometryArrays for the benchmark detector, through a
+    two-level cache: (1) the geocache npz of the *device* arrays — loads
+    in <1 s at any scale because lean instanced geometry stores nothing
+    O(triangles); (2) the legacy host-geometry pickle (minutes to load at
+    headline scale, kept to skip the ~10 min re-mesh); (3) full build."""
+    from chroma_tpu.io.geocache import (save_geometry_arrays,
+                                        load_geometry_arrays)
+    from chroma_tpu.ops.types import build_geometry_arrays
 
     pmt_radius, sphere_radius, spiral_step = _flags(quick)
 
     cache_dir = os.environ.get('CHROMA_CACHE_DIR',
                                os.path.expanduser('~/.chroma'))
     os.makedirs(cache_dir, exist_ok=True)
-    tag = 'bench-%g-%g-%g.pkl' % (pmt_radius, sphere_radius, spiral_step)
-    path = os.path.join(cache_dir, tag)
-    if os.path.exists(path):
-        t0 = time.time()
-        with open(path, 'rb') as f:
-            geo = pickle.load(f)
-        print('# loaded cached bench geometry in %.0fs' %
-              (time.time() - t0), file=sys.stderr)
-        return geo
+    base = 'bench-%g-%g-%g' % (pmt_radius, sphere_radius, spiral_step)
+    apath = os.path.join(cache_dir, base + '-arrays')
 
-    det = demo.detector(pmt_radius, sphere_radius, spiral_step)
-    # the device path only needs the wide BVH; skip the classic builder
-    geo = create_geometry_from_obj(det, auto_build_bvh=False)
+    t0 = time.time()
+    ga = load_geometry_arrays(apath)
+    if ga is not None:
+        print('# loaded cached geometry arrays in %.1fs'
+              % (time.time() - t0), file=sys.stderr)
+        return ga
+
+    pkl = os.path.join(cache_dir, base + '.pkl')
+    if os.path.exists(pkl):
+        t0 = time.time()
+        with open(pkl, 'rb') as f:
+            geo = pickle.load(f)
+        print('# loaded legacy geometry pickle in %.0fs'
+              % (time.time() - t0), file=sys.stderr)
+    else:
+        from chroma_tpu import demo
+        from chroma_tpu.loader import create_geometry_from_obj
+        det = demo.detector(pmt_radius, sphere_radius, spiral_step)
+        # the device path only needs the wide BVH; skip the classic builder
+        geo = create_geometry_from_obj(det, auto_build_bvh=False)
+
+    t0 = time.time()
+    ga = build_geometry_arrays(geo)
+    print('# built geometry arrays in %.0fs' % (time.time() - t0),
+          file=sys.stderr)
     try:
-        with open(path, 'wb') as f:
-            pickle.dump(geo, f, protocol=4)
+        save_geometry_arrays(apath, ga)
     except Exception as e:      # cache is best-effort
         print('# geometry cache write failed: %s' % e, file=sys.stderr)
-    return geo
+    return ga
 
 
 def photon_bomb(n, seed):
@@ -127,16 +144,16 @@ def measure_rays(ga, nrays, reps):
 def run_config(quick, nphotons, reps):
     "Measure one detector config; returns a metrics dict."
     import numpy as np
-    from chroma_tpu.ops.types import build_geometry_arrays
     from chroma_tpu.ops.propagate import propagate
     from chroma_tpu.ops.sample import make_key
     from chroma_tpu import event
 
-    geo = build_detector(quick)
-    ga = build_geometry_arrays(geo)
-    nch = geo.num_channels()
-    print('# detector: %d PMTs, %d triangles' %
-          (nch, len(geo.mesh.triangles)), file=sys.stderr)
+    ga = build_arrays(quick)
+    nch = ga.detector.nchannels
+    ntri = (int(ga.inst.tri_base[-1]) if ga.inst is not None
+            else len(ga.triangles))
+    print('# detector: %d PMTs, %d triangles' % (nch, ntri),
+          file=sys.stderr)
 
     # warm twice (covers the compaction bucket sizes and chunk lengths)
     for w in (100, 101):
@@ -168,7 +185,7 @@ def run_config(quick, nphotons, reps):
             value / BASELINE_PHOTONS_PER_SEC, 4),
         'bvh_ray_throughput_mrays': round(rays_per_sec / 1e6, 3),
         'detector_pmts': nch,
-        'detector_triangles': int(len(geo.mesh.triangles)),
+        'detector_triangles': ntri,
         'nphotons': nphotons,
     }
 

@@ -370,9 +370,9 @@ def _make_body_inst(inst, rays):
     world_loc = org_c + dir_c + inv_c + neg_c + fin_c
 
     from chroma_tpu.ops import visit_kernel
-    # the kernel's int32 bitmask arithmetic (1 << c, float-exponent ctz)
-    # needs the sign bit free, so fanouts of 32 take the jnp body
-    if visit_kernel.enabled(n) and f < 32:
+    # int32 bitmask arithmetic in the kernel wraps two's-complement, so
+    # fanouts up to 32 (full-word masks) are supported
+    if visit_kernel.enabled(n) and f <= 32:
         return _make_body_inst_pallas(inst, rays, world_loc)
 
     def body(state):
@@ -612,19 +612,22 @@ def traversal_visits(origin, direction, wide, last_hit_triangle=None,
 
 def _traversal_stages():
     """Compaction pyramid: (bounded iterations, width divisor) per stage.
-    Traversal lengths are heavy-tailed (p50 ~11 visits, p99 ~25), so a
-    lockstep loop run to completion pays max-visits gathers for every
-    lane; each stage stops early and packs the surviving minority into a
-    static prefix slice (cumsum + scatter, no host sync) before
-    continuing. Tunable via CHROMA_TRAV_STAGES='14:2,8:4,8:4'; 'none'
-    disables staging (pure single-phase lockstep)."""
+    Tunable via CHROMA_TRAV_STAGES='14:2,8:4'; default NO staging.
+
+    Measured on v5e (round 3): the mid-traversal compaction that won
+    +1.7x in round 2 is now a ~2.7x LOSS — with the fused visit kernel a
+    full-width visit costs ~5.6 ms/1M lanes, while one stage boundary
+    (two _take_lanes permutes of the ~60-column state plus the overflow
+    fallback loop) costs ~0.5 s. Pure single-phase lockstep pays the
+    max-visits padding (max ~43 vs mean ~15) and still wins: 4.2 vs 1.2
+    Mrays/s on the quick detector."""
     spec = os.environ.get('CHROMA_TRAV_STAGES')
     if spec:
         if spec in ('none', 'off', '0'):
             return ()
         return tuple(tuple(int(x) for x in part.split(':'))
                      for part in spec.split(','))
-    return ((PHASE1_ITERS, COMPACT_DIVISOR),)
+    return ()
 
 
 def _compact_perm(active):

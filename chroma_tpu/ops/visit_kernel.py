@@ -20,6 +20,7 @@ from __future__ import annotations
 import functools
 import os
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -31,7 +32,7 @@ FLT_EPSILON = 1.19209290e-07
 # sublane-tile rows per grid step (TB*128 lanes). Bigger tiles amortize
 # the per-grid-step pipeline overhead; VMEM per step is ~(W + ~40 state
 # rows) * TB * 128 * 4 B * 2 (double buffering) — TB=32 uses ~9 MB.
-TB = int(os.environ.get('CHROMA_PALLAS_TB', '16'))
+TB = int(os.environ.get('CHROMA_PALLAS_TB', '32'))
 
 # enabled on TPU-like backends unless overridden; tests on CPU exercise it
 # through interpret mode via the correctness test
@@ -70,10 +71,12 @@ def _bitcast_f32(x):
 
 def _ctz32(m):
     """Index of the lowest set bit of an int32 bitmask (32 for m == 0),
-    via the float-exponent trick (no popcount needed; masks here have at
-    most 16 bits, far below the 2^24 exactness bound)."""
+    via the float-exponent trick (no popcount needed; isolated low bits
+    are exact powers of two up to bit 31 in f32). The & 0xFF drops the
+    sign bits an arithmetic shift drags in when bit 31 is set (fanout-32
+    masks use the full word)."""
     low = m & (-m)
-    e = (_bitcast_i32(low.astype(jnp.float32)) >> 23) - 127
+    e = ((_bitcast_i32(low.astype(jnp.float32)) >> 23) & 0xFF) - 127
     return jnp.where(m == 0, 32, e)
 
 
@@ -131,8 +134,9 @@ def _visit_kernel_inst(*refs, W, F, K, D, TAG_INTERNAL, TAG_LEAF,
         tmin = jnp.maximum(jnp.maximum(smx, smy), jnp.maximum(smz, 0.0))
         tmax = jnp.minimum(jnp.minimum(bgx, bgy), bgz)
         hit = (tmin <= tmax) & (tmin <= best_d) & internal
-        hitmask = hitmask | jnp.where(hit, jnp.int32(1 << c),
-                                      jnp.int32(0))
+        # two's-complement wrap keeps bit 31 usable for fanout-32 masks
+        bit = int(np.uint32(1 << c).view(np.int32))
+        hitmask = hitmask | jnp.where(hit, jnp.int32(bit), jnp.int32(0))
         better = hit & (tmin < tnear)
         tnear = jnp.where(better, tmin, tnear)
         nearest = jnp.where(better, c, nearest)

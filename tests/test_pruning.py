@@ -44,8 +44,8 @@ def _bomb(n, seed):
 def test_pruned_histories_bitwise_equal(geometry):
     n = 4096
     key = jax.random.key(11)
-    a, _ = run_steps(_bomb(n, 0), geometry, key, 0, 40, prune=True)
-    b, _ = run_steps(_bomb(n, 0), geometry, key, 0, 40, prune=False)
+    a, _, _ = run_steps(_bomb(n, 0), geometry, key, 0, 40, prune=True)
+    b, _, _ = run_steps(_bomb(n, 0), geometry, key, 0, 40, prune=False)
     assert np.array_equal(np.asarray(a.flags), np.asarray(b.flags))
     assert np.array_equal(np.asarray(a.pos), np.asarray(b.pos))
     assert np.array_equal(np.asarray(a.t), np.asarray(b.t))
@@ -62,7 +62,7 @@ def test_medium_tracking_resolves(geometry):
     "After a step every surviving photon knows its medium."
     n = 1024
     key = jax.random.key(3)
-    ph, _ = run_steps(_bomb(n, 1), geometry, key, 0, 4, prune=True)
+    ph, _, _ = run_steps(_bomb(n, 1), geometry, key, 0, 4, prune=True)
     cur = np.asarray(ph.cur_mat)
     alive = np.asarray(ph.alive)
     assert (cur[alive] >= 0).all()

@@ -40,6 +40,16 @@ TAG_LEAF = 1
 TAG_INSTANCE = 2
 
 
+LEAF_STRIDE = 11   # floats per triangle in a leaf row
+
+
+def _pad8(w):
+    """Row widths are padded to a multiple of 8 so the Pallas visit kernel
+    can take (TB, 128, W) blocks (sublane-aligned) and transpose them
+    in-VMEM instead of paying an HBM transpose per visit."""
+    return (w + 7) & ~7
+
+
 @struct.dataclass
 class WideBVH:
     # unified fat-row f32 table so each traversal iteration issues exactly
@@ -49,7 +59,12 @@ class WideBVH:
     #      first_child_row (bitcast i32), pad...]
     #     padding children have NaN bounds (slab test rejects NaN);
     #   leaf rows (indices >= leaf_base):
-    #     [v0(3), e1(3), e2(3), tri_index (bitcast i32)] x K, pad tri -1.
+    #     [v0(3), e1(3), e2(3), tri_index (bitcast i32),
+    #      material code (bitcast u32)] x K, pad tri -1.
+    #   Baking the packed material code next to each triangle lets the
+    #   traversal return the winning hit's optical context directly — no
+    #   per-photon code/normal gathers afterwards (the normal comes from
+    #   cross(e1, e2) at the winning slot).
     rows: jnp.ndarray
     leaf_base: int = struct.field(pytree_node=False)
     max_depth: int = struct.field(pytree_node=False)
@@ -87,12 +102,13 @@ def _prefix_groups(codes, max_size, target_mean):
 
 
 def build_wide_bvh(mesh, fanout=FANOUT, leaf_size=LEAF_SIZE,
-                   internal_target_mean=None):
+                   internal_target_mean=None, material_codes=None):
     """Build a WideBVH from a host Mesh (numpy in, device arrays out).
 
     internal_target_mean controls how aggressively Morton prefixes are
     coarsened when grouping internal levels (default: the fanout) — larger
-    means shallower trees with fuller nodes."""
+    means shallower trees with fuller nodes. material_codes: per-triangle
+    packed u32 codes baked into the leaf rows (zeros when omitted)."""
     if internal_target_mean is None:
         internal_target_mean = max(fanout // 2, 4)
     vertices = mesh.vertices.astype(np.float32)
@@ -117,6 +133,10 @@ def build_wide_bvh(mesh, fanout=FANOUT, leaf_size=LEAF_SIZE,
     tri = tri[order]
     tri_index = order.astype(np.int32)
     codes = codes[order]
+    if material_codes is None:
+        mat_codes = np.zeros(ntri, np.uint32)
+    else:
+        mat_codes = np.asarray(material_codes, np.uint32)[order]
 
     tri_lo = tri.min(axis=1)
     tri_hi = tri.max(axis=1)
@@ -125,7 +145,8 @@ def build_wide_bvh(mesh, fanout=FANOUT, leaf_size=LEAF_SIZE,
     first, count, group_codes = _prefix_groups(codes, leaf_size,
                                                target_mean=leaf_size)
     nblocks = len(first)
-    leaf_rows = np.zeros((nblocks, leaf_size, 10), dtype=np.float32)
+    leaf_rows = np.zeros((nblocks, leaf_size, LEAF_STRIDE),
+                         dtype=np.float32)
     leaf_rows[:, :, 9] = np.float32(np.int32(-1).view(np.float32))
     block_lo = np.full((nblocks, 3), np.inf, np.float32)
     block_hi = np.full((nblocks, 3), -np.inf, np.float32)
@@ -137,6 +158,7 @@ def build_wide_bvh(mesh, fanout=FANOUT, leaf_size=LEAF_SIZE,
     leaf_rows[block, slot, 3:6] = tri[:, 1] - tri[:, 0]
     leaf_rows[block, slot, 6:9] = tri[:, 2] - tri[:, 0]
     leaf_rows[block, slot, 9] = tri_index.view(np.float32)
+    leaf_rows[block, slot, 10] = mat_codes.view(np.float32)
     # groups are contiguous runs, so reduceat (fast) replaces ufunc.at
     starts = first.astype(np.intp)
     block_lo = np.minimum.reduceat(tri_lo, starts, axis=0)
@@ -161,7 +183,7 @@ def build_wide_bvh(mesh, fanout=FANOUT, leaf_size=LEAF_SIZE,
 
     levels.reverse()  # root level first
     n_internal = sum(len(lv[0]) for lv in levels)
-    width = max(6 * fanout + 2, 10 * leaf_size)
+    width = _pad8(max(6 * fanout + 2, LEAF_STRIDE * leaf_size))
 
     rows = np.zeros((n_internal + nblocks, width), dtype=np.float32)
     rows[:n_internal, :6 * fanout] = np.nan
@@ -190,7 +212,8 @@ def build_wide_bvh(mesh, fanout=FANOUT, leaf_size=LEAF_SIZE,
         r[:, 6 * fanout] = (child_base
                             + first).astype(np.int32).view(np.float32)
 
-    rows[leaf_base:, :10 * leaf_size] = leaf_rows.reshape(nblocks, -1)
+    rows[leaf_base:, :LEAF_STRIDE * leaf_size] = \
+        leaf_rows.reshape(nblocks, -1)
 
     return WideBVH(
         rows=jnp.asarray(rows),
@@ -223,12 +246,17 @@ def build_wide_bvh(mesh, fanout=FANOUT, leaf_size=LEAF_SIZE,
 
 @struct.dataclass
 class InstancedBVH:
-    # unified tagged row table, width = max(6F+2, 10K) + 1:
+    # unified tagged row table, width = max(6F+2, 11K, 15) + 1:
     #   internal (tag 0): [lo*F, hi*F (6F), first_child_row i32, ...]
-    #   leaf     (tag 1): [(v0, e1, e2, local_tri i32) x K, ...] (local frame)
+    #   leaf     (tag 1): [(v0, e1, e2, local_tri i32, mat code u32) x K,
+    #                      ...] (local frame)
     #   instance (tag 2): [R_world->local row-major (9), displacement (3),
-    #                      blas_root_row i32, tri_base i32, ...]
-    # last column: row tag (bitcast i32). Root is row 0.
+    #                      blas_root_row i32, tri_base i32, instance_id i32,
+    #                      ...]
+    # last column: row tag (bitcast i32). Root is row 0. The baked codes
+    # and instance ids let traversal return the winning hit's material
+    # code, local-frame normal and owning instance with no follow-up
+    # searchsorted/gathers (chroma_tpu.ops.photon.fill_state).
     rows: jnp.ndarray
     max_depth: int = struct.field(pytree_node=False)
     fanout: int = struct.field(pytree_node=False)
@@ -399,13 +427,15 @@ def _emit_wide_rows(bn, fanout, width, make_leaf_row):
     return np.stack(rows), leaf_row_index, max_push_depth
 
 
-def _tri_leaf_row_maker(bn, tri, width, leaf_size):
-    "Leaf-row factory for triangle BLASes (local-frame, local tri ids)."
+def _tri_leaf_row_maker(bn, tri, width, leaf_size, codes):
+    """Leaf-row factory for triangle BLASes (local-frame, local tri ids;
+    codes: per-local-triangle packed u32 material codes)."""
     perm, start, count = bn['perm'], bn['start'], bn['count']
 
     def make(node_id):
         row = np.zeros(width, np.float32)
-        block = row[:10 * leaf_size].reshape(leaf_size, 10)
+        block = row[:LEAF_STRIDE * leaf_size].reshape(leaf_size,
+                                                      LEAF_STRIDE)
         block[:, 9] = np.float32(np.int32(-1).view(np.float32))
         ids = perm[start[node_id]:start[node_id] + count[node_id]]
         t = tri[ids]
@@ -413,18 +443,21 @@ def _tri_leaf_row_maker(bn, tri, width, leaf_size):
         block[:len(ids), 3:6] = t[:, 1] - t[:, 0]
         block[:len(ids), 6:9] = t[:, 2] - t[:, 0]
         block[:len(ids), 9] = ids.astype(np.int32).view(np.float32)
+        block[:len(ids), 10] = codes[ids].view(np.float32)
         row[width - 1] = np.int32(TAG_LEAF).view(np.float32)
         return row
 
     return make
 
 
-def _blas_rows(mesh, fanout, leaf_size, width, sah_threshold):
-    """Local-frame BLAS rows for one unique mesh.
-    Returns (rows (R,width) f32, max_push_depth)."""
+def _blas_rows(mesh, fanout, leaf_size, width, sah_threshold, codes):
+    """Local-frame BLAS rows for one unique mesh (codes: per-local-tri
+    packed u32). Returns (rows (R,width) f32, max_push_depth)."""
     vertices = mesh.vertices.astype(np.float32)
     tri = vertices[mesh.triangles.astype(np.int64)]  # (T,3,3)
     ntri = len(tri)
+    if codes is None:
+        codes = np.zeros(ntri, np.uint32)
 
     if ntri <= sah_threshold:
         tri_lo = tri.min(axis=1)
@@ -432,11 +465,12 @@ def _blas_rows(mesh, fanout, leaf_size, width, sah_threshold):
         bn = _binary_sah_build(tri_lo, tri_hi, max_leaf=leaf_size)
         rows, _, depth = _emit_wide_rows(
             bn, fanout, width, _tri_leaf_row_maker(bn, tri, width,
-                                                   leaf_size))
+                                                   leaf_size, codes))
         return rows, depth
 
     # very large unique mesh: fast Morton-leveled build, then tag the rows
-    w = build_wide_bvh(mesh, fanout=fanout, leaf_size=leaf_size)
+    w = build_wide_bvh(mesh, fanout=fanout, leaf_size=leaf_size,
+                       material_codes=codes)
     src = np.asarray(w.rows)
     rows = np.zeros((len(src), width), np.float32)
     rows[:, :src.shape[1]] = src
@@ -447,15 +481,18 @@ def _blas_rows(mesh, fanout, leaf_size, width, sah_threshold):
 
 
 def build_instanced_bvh(instances, fanout=FANOUT, leaf_size=LEAF_SIZE,
-                        sah_threshold=200000, want_meta=False):
+                        sah_threshold=200000, want_meta=False,
+                        material_codes=None):
     """Build a two-level (TLAS/BLAS) tagged wide BVH.
 
     instances: list of (mesh, rotation, displacement, tri_base) — the
     placement maps local to world as x_w = rotation @ x_l + displacement
     (as Geometry.flatten applies it), and tri_base is the solid's first
     triangle index in the flattened soup. Non-rigid placements are baked
-    into a world-frame copy of the mesh. Meshes are shared by object
-    identity: N placements of one mesh share one BLAS.
+    into a world-frame copy of the mesh. material_codes: flat per-triangle
+    packed u32 codes of the flattened soup, baked into BLAS leaf rows;
+    BLASes are then shared by (mesh identity, code content) so placements
+    of one mesh with different optics get their own copies.
 
     With want_meta=True also returns a host-side dict describing the
     resolved instances (after baking): 'mesh_index' (n_inst,) i32 into
@@ -463,12 +500,13 @@ def build_instanced_bvh(instances, fanout=FANOUT, leaf_size=LEAF_SIZE,
     — the inputs the lean per-instance geometry arrays are built from
     (chroma_tpu.ops.types.build_instance_arrays).
     """
-    width = max(6 * fanout + 2, 10 * leaf_size, 14) + 1
+    width = _pad8(max(6 * fanout + 2, LEAF_STRIDE * leaf_size, 15) + 1)
     ident = np.identity(3, np.float32)
 
-    # resolve unique meshes, baking non-rigid placements
+    # resolve unique (mesh, codes) pairs, baking non-rigid placements
     unique = []            # list of mesh
-    mesh_index = {}        # id(mesh) -> index into unique
+    unique_codes = []      # per-local-tri u32 codes (or None)
+    mesh_index = {}        # (id(mesh), codes bytes) -> index into unique
     inst = []              # (mesh_idx, rot_w2l (3,3), disp (3,), tri_base)
     for mesh, rot, disp, tri_base in instances:
         rot = ident if rot is None else np.asarray(rot, np.float32)
@@ -481,10 +519,18 @@ def build_instanced_bvh(instances, fanout=FANOUT, leaf_size=LEAF_SIZE,
                         mesh.triangles, remove_duplicate_vertices=False,
                         remove_null_triangles=False)
             rot, disp = ident, np.zeros(3, np.float32)
-        key = id(mesh)
+        if material_codes is None:
+            codes = None
+            key = (id(mesh), None)
+        else:
+            codes = np.asarray(
+                material_codes[tri_base:tri_base + len(mesh.triangles)],
+                np.uint32)
+            key = (id(mesh), codes.tobytes())
         if key not in mesh_index:
             mesh_index[key] = len(unique)
             unique.append(mesh)
+            unique_codes.append(codes)
         inst.append((mesh_index[key], rot.T.astype(np.float32),
                      disp.astype(np.float32), int(tri_base)))
     meta = dict(
@@ -495,8 +541,8 @@ def build_instanced_bvh(instances, fanout=FANOUT, leaf_size=LEAF_SIZE,
     ) if want_meta else None
 
     # per-unique-mesh BLAS (local frame)
-    blas = [_blas_rows(m, fanout, leaf_size, width, sah_threshold)
-            for m in unique]
+    blas = [_blas_rows(m, fanout, leaf_size, width, sah_threshold, c)
+            for m, c in zip(unique, unique_codes)]
     local_lo = [m.vertices.min(axis=0).astype(np.float32) for m in unique]
     local_hi = [m.vertices.max(axis=0).astype(np.float32) for m in unique]
 
@@ -516,7 +562,6 @@ def build_instanced_bvh(instances, fanout=FANOUT, leaf_size=LEAF_SIZE,
     # TLAS over instances (one instance per binary leaf)
     bn = _binary_sah_build(ilo, ihi, max_leaf=1)
     perm = bn['perm']
-    inst_meta = []  # (row_index later, instance id)
 
     def make_instance_row(node_id):
         iid = int(perm[bn['start'][node_id]])
@@ -526,6 +571,7 @@ def build_instanced_bvh(instances, fanout=FANOUT, leaf_size=LEAF_SIZE,
         row[9:12] = disp
         row[12] = np.int32(mi).view(np.float32)   # patched to blas root
         row[13] = np.int32(tri_base).view(np.float32)
+        row[14] = np.int32(iid).view(np.float32)
         row[width - 1] = np.int32(TAG_INSTANCE).view(np.float32)
         return row
 

@@ -21,7 +21,7 @@ import os
 import numpy as np
 import jax.numpy as jnp
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2   # v2: LEAF_STRIDE-11 rows w/ baked codes + instance ids
 
 
 def _registry():

@@ -57,32 +57,26 @@ def _segment_or(values, segment_ids, num_segments):
                    axis=1, dtype=jnp.uint32)
 
 
-def run_daq(photons, geometry, key, ndaq=1, global_weight=1.0,
-            detection_state=SURFACE_DETECT):
-    """Acquire one DAQ readout (or `ndaq` independent replicas) from a
-    propagated photon batch (reference: daq.cu run_daq / run_daq_many).
+# replica rows materialized per launch: bounds peak DAQ buffers to
+# (DAQ_BLOCK, N) regardless of ndaq, the TPU analog of the reference's
+# blocked run_daq_many (reference: chroma/cuda/daq.cu:88-150, which
+# loops replicas per thread for exactly the same reason)
+DAQ_BLOCK = 8
 
-    Returns ChannelArrays with leading dimension ndaq*C (replica-major,
-    matching the reference's channel_stride layout).
-    """
-    det = geometry.detector
+
+def _daq_block(photons, det, key, nrep, rep0, ndaq,
+               global_weight, channel, detected):
+    """One replica block: (nrep, N) draws -> (nrep*C,) reductions.
+    Replicas rep0..rep0+nrep-1; rows past ndaq contribute nothing."""
     n = len(photons)
     c = det.nchannels
+    u_keep = uniform(site_key(key, 0), (nrep, n))
+    u_time = uniform(site_key(key, 1), (nrep, n))
+    u_charge = uniform(site_key(key, 2), (nrep, n))
 
-    tri = photons.last_hit_triangle
-    terminated_on_surface = tri > -1
-    solid = tri_solid(geometry, tri)
-    channel = det.solid_id_to_channel_index[solid]
-    detected = (terminated_on_surface & (channel >= 0)
-                & ((photons.flags & jnp.uint32(detection_state)) != 0))
-
-    # replica axis: (ndaq, N) draws, channels offset by replica*C
-    u_keep = uniform(site_key(key, 0), (ndaq, n))
-    u_time = uniform(site_key(key, 1), (ndaq, n))
-    u_charge = uniform(site_key(key, 2), (ndaq, n))
-
-    keep = detected[None, :] & (u_keep < photons.weight[None, :]
-                                * global_weight)
+    rep = rep0 + jnp.arange(nrep, dtype=jnp.int32)
+    keep = (detected[None, :] & (rep < ndaq)[:, None]
+            & (u_keep < photons.weight[None, :] * global_weight))
 
     time = photons.t[None, :] + sample_cdf_pairs(u_time, det.time_cdf_x,
                                                  det.time_cdf_y)
@@ -90,10 +84,10 @@ def run_daq(photons, geometry, key, ndaq=1, global_weight=1.0,
     charge_int = jnp.round(charge / det.charge_unit)
 
     seg = (jnp.maximum(channel, 0)[None, :]
-           + jnp.arange(ndaq, dtype=jnp.int32)[:, None] * c)
+           + jnp.arange(nrep, dtype=jnp.int32)[:, None] * c)
     # photons that don't contribute go to an overflow segment
-    seg = jnp.where(keep, seg, ndaq * c).reshape(-1)
-    nseg = ndaq * c + 1
+    seg = jnp.where(keep, seg, nrep * c).reshape(-1)
+    nseg = nrep * c + 1
 
     time_flat = jnp.where(keep, time, MAX_TIME).reshape(-1)
     earliest = jax.ops.segment_min(time_flat, seg, num_segments=nseg)[:-1]
@@ -104,9 +98,47 @@ def run_daq(photons, geometry, key, ndaq=1, global_weight=1.0,
     q = q * det.charge_unit
 
     flags_flat = jnp.where(keep.reshape(-1),
-                           jnp.tile(photons.flags, ndaq), jnp.uint32(0))
+                           jnp.tile(photons.flags, nrep), jnp.uint32(0))
     histories = _segment_or(flags_flat, seg, nseg)[:-1]
+    return earliest, q, histories
 
+
+def run_daq(photons, geometry, key, ndaq=1, global_weight=1.0,
+            detection_state=SURFACE_DETECT):
+    """Acquire one DAQ readout (or `ndaq` independent replicas) from a
+    propagated photon batch (reference: daq.cu run_daq / run_daq_many).
+
+    Returns ChannelArrays with leading dimension ndaq*C (replica-major,
+    matching the reference's channel_stride layout). Replicas are
+    processed in blocks of DAQ_BLOCK so likelihood-scale acquisitions
+    (ndaq=50, N=1M) never materialize (ndaq, N) intermediates."""
+    det = geometry.detector
+    c = det.nchannels
+
+    tri = photons.last_hit_triangle
+    terminated_on_surface = tri > -1
+    solid = tri_solid(geometry, tri)
+    channel = det.solid_id_to_channel_index[solid]
+    detected = (terminated_on_surface & (channel >= 0)
+                & ((photons.flags & jnp.uint32(detection_state)) != 0))
+
+    if ndaq <= DAQ_BLOCK:
+        earliest, q, histories = _daq_block(
+            photons, det, key, ndaq, 0, ndaq, global_weight,
+            channel, detected)
+        return ChannelArrays(earliest_time=earliest, charge=q,
+                             histories=histories)
+
+    nblocks = -(-ndaq // DAQ_BLOCK)
+    parts = []
+    for b in range(nblocks):
+        bk = jax.random.fold_in(key, b)
+        parts.append(_daq_block(
+            photons, det, bk, DAQ_BLOCK, b * DAQ_BLOCK,
+            ndaq, global_weight, channel, detected))
+    earliest = jnp.concatenate([p[0] for p in parts])[:ndaq * c]
+    q = jnp.concatenate([p[1] for p in parts])[:ndaq * c]
+    histories = jnp.concatenate([p[2] for p in parts])[:ndaq * c]
     return ChannelArrays(earliest_time=earliest, charge=q,
                          histories=histories)
 

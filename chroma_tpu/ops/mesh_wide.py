@@ -137,21 +137,32 @@ def _child_sweep(gT, f, ray_cols, best_d, active):
     return hitmask, nearest
 
 
-def _leaf_sweep(gT, k, origin_cols, dir_cols, last_hit, active, best_tri,
-                best_d, tri_base=None):
+def _leaf_sweep(gT, k, origin_cols, dir_cols, last_hit, active, hits,
+                tri_base=None, iid=None):
     """Moller-Trumbore over all K triangles of a leaf row, in column form
     ((N,) vectors only, fori_loop — same rationale as _child_sweep).
-    tri_base optionally re-bases triangle ids (instanced BLAS leaves)."""
+    tri_base optionally re-bases triangle ids (instanced BLAS leaves).
+
+    hits carries the winning hit's full context — (best_tri, best_d,
+    best_code, bnx, bny, bnz[, best_iid]) — so no per-photon code/normal
+    gathers are needed after traversal: the packed material code rides in
+    the leaf row (chroma_tpu.bvh.wide LEAF_STRIDE layout) and the
+    geometric normal is cross(e1, e2) at the winning slot (frame of the
+    leaf row: local for instanced BLASes, rotated by the caller). `iid`
+    is the lane's current instance register (instanced tables only)."""
     ox, oy, oz = origin_cols
     dx, dy, dz = dir_cols
+    from chroma_tpu.bvh.wide import LEAF_STRIDE
 
     def body(ti, carry):
-        best_tri, best_d = carry
-        blk = jax.lax.dynamic_slice_in_dim(gT, 10 * ti, 10, axis=0)
+        best_tri, best_d, best_code, bnx, bny, bnz = carry[:6]
+        blk = jax.lax.dynamic_slice_in_dim(gT, LEAF_STRIDE * ti,
+                                           LEAF_STRIDE, axis=0)
         v0x, v0y, v0z = blk[0], blk[1], blk[2]
         e1x, e1y, e1z = blk[3], blk[4], blk[5]
         e2x, e2y, e2z = blk[6], blk[7], blk[8]
         tri = jax.lax.bitcast_convert_type(blk[9], jnp.int32)
+        code = jax.lax.bitcast_convert_type(blk[10], jnp.int32)
         tri_g = tri if tri_base is None else tri + tri_base
         hx = dy * e2z - dz * e2y
         hy = dz * e2x - dx * e2z
@@ -176,9 +187,16 @@ def _leaf_sweep(gT, k, origin_cols, dir_cols, last_hit, active, best_tri,
         closer = ok & (t < best_d)
         best_d = jnp.where(closer, t, best_d)
         best_tri = jnp.where(closer, tri_g, best_tri)
-        return best_tri, best_d
+        best_code = jnp.where(closer, code, best_code)
+        bnx = jnp.where(closer, e1y * e2z - e1z * e2y, bnx)
+        bny = jnp.where(closer, e1z * e2x - e1x * e2z, bny)
+        bnz = jnp.where(closer, e1x * e2y - e1y * e2x, bnz)
+        out = (best_tri, best_d, best_code, bnx, bny, bnz)
+        if len(carry) == 7:
+            out = out + (jnp.where(closer, iid, carry[6]),)
+        return out
 
-    return jax.lax.fori_loop(0, k, body, (best_tri, best_d))
+    return jax.lax.fori_loop(0, k, body, hits)
 
 
 def _ray_cols(origin, direction, inv_dir, neg_org, finite):
@@ -233,7 +251,7 @@ def _make_body(wide, rays):
                                                   inv_dir, neg_org, finite)
 
     def body(state):
-        cur, depth, bases, masks, best_tri, best_d = state
+        cur, depth, bases, masks, best_tri, best_d, hctx = state
         active = cur >= 0
         at_leaf = active & (cur >= leaf_base)
         internal = active & ~at_leaf
@@ -243,8 +261,10 @@ def _make_body(wide, rays):
 
         hitmask, nearest = _child_sweep(gT, f, (inv_c, neg_c, fin_c),
                                         best_d, internal)
-        best_tri, best_d = _leaf_sweep(gT, k, org_c, dir_c, last_hit,
-                                       at_leaf, best_tri, best_d)
+        best_tri, best_d, *hctx = _leaf_sweep(
+            gT, k, org_c, dir_c, last_hit, at_leaf,
+            (best_tri, best_d) + tuple(hctx))
+        hctx = tuple(hctx)
 
         first_child = jax.lax.bitcast_convert_type(gT[6 * f], jnp.int32)
 
@@ -270,7 +290,7 @@ def _make_body(wide, rays):
                         jnp.where(need & (top < 0), -1, cur))
         depth = jnp.where(found, top + 1, depth)
 
-        return cur, depth, bases, masks, best_tri, best_d
+        return cur, depth, bases, masks, best_tri, best_d, hctx
 
     return body
 
@@ -279,8 +299,19 @@ def _any_active(state):
     return jnp.any(state[0] >= 0)
 
 
+def _context_result(best_tri, best_d, hctx, iid=None):
+    """Assemble the want_context return: (tri, dist, code (N,) u32,
+    normal (N,3) unnormalized, iid (N,) i32)."""
+    code = jax.lax.bitcast_convert_type(hctx[0], jnp.uint32)
+    normal = jnp.stack(hctx[1:4], axis=1)
+    if iid is None:
+        iid = jnp.zeros_like(best_tri)
+    return best_tri, best_d, code, normal, iid
+
+
 def intersect_mesh_wide(origin, direction, wide, last_hit_triangle=None,
-                        mask=None, best_limit=None, two_phase=True):
+                        mask=None, best_limit=None, two_phase=True,
+                        want_context=False):
     """Nearest-triangle query against a WideBVH.
 
     origin/direction: (N,3) f32, direction normalized.
@@ -289,12 +320,18 @@ def intersect_mesh_wide(origin, direction, wide, last_hit_triangle=None,
     best_limit: (N,) f32 optional initial upper bound on the hit distance.
 
     Returns (triangle (N,) i32, distance (N,) f32) with -1/+inf misses.
+    With want_context=True additionally returns the winning hit's packed
+    material code ((N,) u32), UNNORMALIZED geometric normal ((N,3), in
+    the leaf row's frame — local for instanced tables) and owning
+    instance id ((N,) i32, 0 for monolithic tables) — all read from the
+    traversal state, no follow-up gathers.
     """
     from chroma_tpu.bvh.wide import InstancedBVH
     if isinstance(wide, InstancedBVH):
         return intersect_mesh_instanced(origin, direction, wide,
                                         last_hit_triangle, mask,
-                                        best_limit, two_phase)
+                                        best_limit, two_phase,
+                                        want_context)
     n = origin.shape[0]
     depth_max = wide.max_depth
 
@@ -324,15 +361,17 @@ def intersect_mesh_wide(origin, direction, wide, last_hit_triangle=None,
     if mask is not None:
         cur0 = jnp.where(mask, cur0, -1)
 
-    state = (cur0, depth0, bases0, masks0, best_tri0, best_d0)
+    hctx0 = (izero, fzero, fzero, fzero)     # code, normal xyz
+    state = (cur0, depth0, bases0, masks0, best_tri0, best_d0, hctx0)
 
     if not two_phase or n < MIN_TWO_PHASE:
         body = _unrolled(_make_body(wide, rays), n)
         state = jax.lax.while_loop(_any_active, body, state)
-        return state[4], state[5]
-
-    state = _staged_query(_make_body, wide, rays, state,
-                          _traversal_stages())
+    else:
+        state = _staged_query(_make_body, wide, rays, state,
+                              _traversal_stages())
+    if want_context:
+        return _context_result(state[4], state[5], state[6])
     return state[4], state[5]
 
 
@@ -377,7 +416,7 @@ def _make_body_inst(inst, rays):
 
     def body(state):
         (cur, depth, bases, masks, best_tri, best_d, loc, d_inst,
-         tbase) = state
+         tbase, iid, hctx) = state
         # loc: the local-frame ray registers as 15 lane-packed (N,)
         # vectors (ox,oy,oz, dx,dy,dz, ix,iy,iz, nx,ny,nz, fx,fy,fz)
         active = cur >= 0
@@ -394,9 +433,10 @@ def _make_body_inst(inst, rays):
 
         hitmask, nearest = _child_sweep(gT, f, (inv_cc, neg_cc, fin_cc),
                                         best_d, internal)
-        best_tri, best_d = _leaf_sweep(gT, k, o_cc, d_cc, last_hit,
-                                       at_leaf, best_tri, best_d,
-                                       tri_base=tbase)
+        best_tri, best_d, *hctx = _leaf_sweep(
+            gT, k, o_cc, d_cc, last_hit, at_leaf,
+            (best_tri, best_d) + tuple(hctx), tri_base=tbase, iid=iid)
+        hctx = tuple(hctx)
 
         first_child = jax.lax.bitcast_convert_type(gT[6 * f], jnp.int32)
 
@@ -421,6 +461,9 @@ def _make_body_inst(inst, rays):
         tbase = jnp.where(is_inst,
                           jax.lax.bitcast_convert_type(gT[13], jnp.int32),
                           tbase)
+        iid = jnp.where(is_inst,
+                        jax.lax.bitcast_convert_type(gT[14], jnp.int32),
+                        iid)
         blas_root = jax.lax.bitcast_convert_type(gT[12], jnp.int32)
 
         # descend: internal -> nearest hit child; instance -> BLAS root
@@ -458,15 +501,19 @@ def _make_body_inst(inst, rays):
         d_inst = jnp.where(leaving, IBIG, d_inst)
 
         return (cur, depth, bases, masks, best_tri, best_d, loc, d_inst,
-                tbase)
+                tbase, iid, hctx)
 
     return body
 
 
 def _make_body_inst_pallas(inst, rays, world_loc):
-    """Pallas-backed visit body: the row gather + transpose stay XLA, the
-    whole per-visit computation runs as one fused Mosaic kernel (see
-    chroma_tpu.ops.visit_kernel). State pytree matches _make_body_inst."""
+    """Pallas-backed visit body: the row gather stays XLA (Mosaic has no
+    per-lane random gather over a multi-MB table); the fetched rows enter
+    the kernel UNTRANSPOSED as (TB, 128, W) blocks and are transposed
+    in-VMEM — measured ~1.3 ms/visit cheaper at 1M lanes than the XLA
+    (N, W) -> (W, N) HBM transpose. The whole per-visit computation runs
+    as one fused Mosaic kernel (chroma_tpu.ops.visit_kernel). State
+    pytree matches _make_body_inst."""
     from chroma_tpu.bvh.wide import TAG_INTERNAL, TAG_LEAF, TAG_INSTANCE
     from chroma_tpu.ops.visit_kernel import visit_inst
 
@@ -491,38 +538,45 @@ def _make_body_inst_pallas(inst, rays, world_loc):
 
     def body(state):
         (cur, depth, bases, masks, best_tri, best_d, loc, d_inst,
-         tbase) = state
+         tbase, iid, hctx) = state
         active = cur >= 0
         rows = inst.rows[jnp.where(active, cur, 0)]  # the ONE gather
-        gT = rows.T.reshape(width, nb, 128)
+        rows_t = rows.reshape(nb, 128, width)        # free reshape
 
         loc_t = tuple(r2(l.astype(jnp.float32)) for l in loc)
-        (cur, depth, best_tri, d_inst, tbase, bases_t, masks_t, bd_t,
-         loc_t) = visit_inst(
-            gT, r2(cur), r2(depth), r2(best_tri), r2(d_inst), r2(tbase),
+        hctx_t = (r2(hctx[0]), r2(hctx[1]), r2(hctx[2]), r2(hctx[3]),
+                  r2(hctx[4]))
+        (cur, depth, best_tri, d_inst, tbase, iid_t, bases_t, masks_t,
+         bd_t, hctx_t, loc_t) = visit_inst(
+            rows_t, r2(cur), r2(depth), r2(best_tri), r2(d_inst),
+            r2(tbase), r2(iid),
             bases.reshape(depth_max, nb, 128),
             jax.lax.bitcast_convert_type(
                 masks, jnp.int32).reshape(depth_max, nb, 128),
-            r2(best_d), loc_t, rays_pack, last_t,
+            r2(best_d), hctx_t, loc_t, rays_pack, last_t,
             width, f, k, depth_max, tags, interpret=interp)
 
         loc_out = tuple(loc_t[i].reshape(n) for i in range(12)) \
             + tuple(loc_t[i].reshape(n) > 0.5 for i in range(12, 15))
+        hctx_out = tuple(h.reshape(n) for h in hctx_t)
         return (cur.reshape(n), depth.reshape(n),
                 bases_t.reshape(depth_max, n),
                 jax.lax.bitcast_convert_type(
                     masks_t, jnp.uint32).reshape(depth_max, n),
                 best_tri.reshape(n), bd_t.reshape(n), loc_out,
-                d_inst.reshape(n), tbase.reshape(n))
+                d_inst.reshape(n), tbase.reshape(n), iid_t.reshape(n),
+                hctx_out)
 
     return body
 
 
 def intersect_mesh_instanced(origin, direction, inst,
                              last_hit_triangle=None, mask=None,
-                             best_limit=None, two_phase=True):
+                             best_limit=None, two_phase=True,
+                             want_context=False):
     """Nearest-triangle query against an InstancedBVH. Same contract as
-    intersect_mesh_wide; returned triangle ids index the flattened soup."""
+    intersect_mesh_wide; returned triangle ids index the flattened soup.
+    The want_context normal is in the winning instance's LOCAL frame."""
     n = origin.shape[0]
     depth_max = inst.max_depth
 
@@ -551,16 +605,19 @@ def intersect_mesh_instanced(origin, direction, inst,
         cur0 = jnp.where(mask, cur0, -1)
 
     loc0 = sum(_ray_cols(origin, direction, inv_dir, neg_org, finite), ())
+    hctx0 = (izero, fzero, fzero, fzero, izero)   # code, normal, iid
     state = (cur0, depth0, bases0, masks0, best_tri0, best_d0,
-             loc0, izero + IBIG, izero)
+             loc0, izero + IBIG, izero, izero, hctx0)
 
     if not two_phase or n < MIN_TWO_PHASE:
         body = _unrolled(_make_body_inst(inst, rays), n)
         state = jax.lax.while_loop(_any_active, body, state)
-        return state[4], state[5]
-
-    state = _staged_query(_make_body_inst, inst, rays, state,
-                          _traversal_stages())
+    else:
+        state = _staged_query(_make_body_inst, inst, rays, state,
+                              _traversal_stages())
+    if want_context:
+        return _context_result(state[4], state[5], state[10][:4],
+                               state[10][4])
     return state[4], state[5]
 
 
@@ -593,9 +650,11 @@ def traversal_visits(origin, direction, wide, last_hit_triangle=None,
     if isinstance(wide, InstancedBVH):
         loc0 = sum(_ray_cols(origin, direction, inv_dir, neg_org,
                              finite), ())
-        state = state + (loc0, izero + IBIG, izero)
+        state = state + (loc0, izero + IBIG, izero, izero,
+                         (izero, fzero, fzero, fzero, izero))
         body = _make_body_inst(wide, rays)
     else:
+        state = state + ((izero, fzero, fzero, fzero),)
         body = _make_body(wide, rays)
 
     def counted_body(carry):

@@ -214,15 +214,17 @@ def fill_state(photons, geometry, active, best_limit=None, pruned=None,
     sampled from, which override the mesh-resolved medium so transport is
     consistent with the pruned query. `mrows` is an optional precomputed
     wavelength_lerp_rows(materials.props_wl, ...) to share the gather."""
+    hit_ctx = None
     if geometry.wide is not None:
         from chroma_tpu.ops.mesh_wide import intersect_mesh_wide
         # per-query tail compaction (two_phase) wins 1.7x on realistic
         # detectors whose traversal-length tails are heavy; on trivial
         # geometries it costs a few percent of permute overhead
-        tri, dist = intersect_mesh_wide(photons.pos, photons.dir,
-                                        geometry.wide,
-                                        photons.last_hit_triangle,
-                                        mask=active, best_limit=best_limit)
+        tri, dist, hit_code, hit_normal, hit_iid = intersect_mesh_wide(
+            photons.pos, photons.dir, geometry.wide,
+            photons.last_hit_triangle, mask=active,
+            best_limit=best_limit, want_context=True)
+        hit_ctx = (hit_code, hit_normal, hit_iid)
     else:
         tri, dist = intersect_mesh(photons.pos, photons.dir, geometry,
                                    photons.last_hit_triangle, mask=active)
@@ -245,14 +247,32 @@ def fill_state(photons, geometry, active, best_limit=None, pruned=None,
 
     any_hit = hit | use_analytic
 
-    # mesh boundary context. Lean instanced geometries resolve the code +
-    # normal through small per-unique-mesh tables (searchsorted for the
-    # owning instance, then two unique-soup gathers + a 9-element rotation
-    # row); the dense path keeps the reference-style per-triangle gathers
-    # (reference recomputes the normal from three vertex fetches,
-    # photon.h:355-367).
+    # mesh boundary context. The wide-BVH traversal already returns the
+    # winning hit's packed material code, local-frame geometric normal
+    # and owning instance (baked into the leaf/instance rows,
+    # chroma_tpu.bvh.wide), so resolving the context costs at most one
+    # (n_inst, 9) rotation-row gather — the reference instead refetches
+    # three vertices + the code per thread (photon.h:355-367), and the
+    # previous design here paid a searchsorted (a ~15-deep binary-search
+    # loop, measured ~56 ms/step at 1M lanes) plus three soup gathers.
     safe_tri = jnp.where(hit, tri, 0)
-    if geometry.inst is not None:
+    if hit_ctx is not None:
+        code, nvec, hit_iid = hit_ctx
+        if geometry.inst is not None:
+            R = geometry.inst.rot_n[hit_iid]     # (N,9) det * R_l2w
+            nvec = jnp.stack(
+                [R[:, 0] * nvec[:, 0] + R[:, 1] * nvec[:, 1]
+                 + R[:, 2] * nvec[:, 2],
+                 R[:, 3] * nvec[:, 0] + R[:, 4] * nvec[:, 1]
+                 + R[:, 5] * nvec[:, 2],
+                 R[:, 6] * nvec[:, 0] + R[:, 7] * nvec[:, 1]
+                 + R[:, 8] * nvec[:, 2]], axis=1)
+        # unnormalized cross(e1, e2); only the direction is ever used,
+        # but downstream math (specular reflection, Fresnel) assumes a
+        # unit normal
+        ln = jnp.sqrt(jnp.sum(nvec * nvec, axis=1, keepdims=True))
+        face_normal = nvec / jnp.where(ln > 0, ln, 1.0)
+    elif geometry.inst is not None:
         ia = geometry.inst
         iidx = jnp.searchsorted(ia.tri_base, safe_tri,
                                 side='right').astype(jnp.int32) - 1

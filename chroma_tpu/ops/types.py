@@ -568,11 +568,17 @@ def build_geometry_arrays(geometry, wavelengths=None, times=None,
                 (s.mesh, geometry.solid_rotations[i],
                  geometry.solid_displacements[i], int(tri_base[i]))
                 for i, s in enumerate(solids)]
-            wide, inst_meta = build_instanced_bvh(instances,
-                                                  want_meta=True)
+            wide, inst_meta = build_instanced_bvh(
+                instances, want_meta=True, material_codes=material_codes)
             inst_arrays = build_instance_arrays(inst_meta, material_codes)
         else:
-            wide = build_wide_bvh(geometry.mesh)
+            # flattened-only geometries (no live solids) still use the
+            # tagged instanced table — as ONE identity instance over the
+            # whole soup — so the hot path (Pallas visit kernel, baked
+            # material codes/normals) is uniform
+            wide = build_instanced_bvh(
+                [(geometry.mesh, None, None, 0)],
+                material_codes=material_codes)
 
     wireplanes = build_wireplane_arrays(
         getattr(geometry, 'wireplanes', None), material_lookup,

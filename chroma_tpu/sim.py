@@ -169,18 +169,35 @@ class Simulation(object):
             logger.info('batch of %d photons took %.2f s'
                         % (nbatch, time.perf_counter() - t_start))
 
-        with profiler.region('sim.readback'):
-            photons_end = photon_state_to_host(result)
+        # hit extraction runs ON DEVICE: the channel map resolves from the
+        # propagated state, detected lanes are front-packed, and only that
+        # minority is transferred (reference count->alloc->copy kernels,
+        # gpu/photon.py:141-209). The full-batch readback (~0.8 s per 1M
+        # photons through the remote tunnel) happens only when the caller
+        # asked for every end-state.
+        import jax.numpy as jnp
+        want_hits = self.has_channels and (keep_hits or keep_flat_hits)
+        channel_dev = daq_ops.photon_channels_device(
+            result, self.gpu_geometry) if want_hits else None
 
-        if self.has_channels and (keep_hits or keep_flat_hits):
+        photons_end = None
+        if keep_photons_end or self.photon_tracking:
+            with profiler.region('sim.readback'):
+                photons_end = photon_state_to_host(result)
+                if channel_dev is not None:
+                    photons_end.channel = np.maximum(
+                        np.asarray(channel_dev), 0).astype(np.uint32)
+
+        if want_hits:
             with profiler.region('sim.hit_extraction'):
-                channel = daq_ops.photon_channels(
-                    photons_end, self.detector.solid_id,
-                    np.asarray(self.detector.solid_id_to_channel_index))
-                photons_end.channel = np.maximum(channel,
-                                                 0).astype(np.uint32)
-                detected = channel >= 0
-                batch_hits = photons_end[detected]
+                detected_dev = channel_dev >= 0
+                nhit = int(jnp.sum(detected_dev))
+                order = jnp.argsort(jnp.where(detected_dev, 0, 1),
+                                    stable=True)[:nhit]
+                sub = jax.tree_util.tree_map(lambda a: a[order], result)
+                batch_hits = photon_state_to_host(
+                    sub, channel=np.asarray(
+                        channel_dev[order]).astype(np.uint32))
 
         for i, ev in enumerate(batch_events):
             start, end = batch_bounds[i], batch_bounds[i + 1]

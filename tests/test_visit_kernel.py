@@ -41,7 +41,10 @@ def _rays(n, seed):
 
 def test_pallas_visit_matches_jnp(wide, monkeypatch):
     from chroma_tpu.ops import mesh_wide, visit_kernel
-    n = 2048                        # multiple of TB*128
+    n = 2048
+    # TB must divide n/128 or enabled() refuses even under 'force' (the
+    # default TB=32 needs n >= 4096 and made this test silently vacuous)
+    monkeypatch.setattr(visit_kernel, 'TB', 8)
     origin, d = _rays(n, 3)
 
     monkeypatch.setattr(visit_kernel, 'PALLAS_VISIT', '0')
@@ -51,6 +54,7 @@ def test_pallas_visit_matches_jnp(wide, monkeypatch):
         origin, d)
 
     monkeypatch.setattr(visit_kernel, 'PALLAS_VISIT', 'force')
+    assert visit_kernel.enabled(n)
     tri_pal, dist_pal = jax.jit(
         lambda o, dd: mesh_wide.intersect_mesh_wide(o, dd, wide,
                                                     two_phase=False))(

@@ -23,14 +23,18 @@ triangles.
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 from flax import struct
 
 from chroma_tpu.bvh.build import morton_codes_3d
 
-FANOUT = 16
-LEAF_SIZE = 8
+# default shape knobs, env-tunable for experiments (the Pallas visit
+# kernel supports fanouts up to 32 — full-word bitmasks)
+FANOUT = int(os.environ.get('CHROMA_BVH_FANOUT', '16'))
+LEAF_SIZE = int(os.environ.get('CHROMA_BVH_LEAF', '8'))
 MAX_DEPTH = 16
 
 # row-type tags for the instanced table (stored bitcast-i32 in the last

@@ -9,21 +9,33 @@ reductions ride ICI collectives:
 
   earliest hit time  -> pmin over the photon axis
   channel charge     -> psum
-  channel history OR -> all_gather + local bitwise OR
+  channel history OR -> per-bit psum + recombine
 
 This mirrors the reference's intra-GPU atomics -> ICI collectives mapping
 called out in SURVEY §2.3.
+
+All sharded programs are built ONCE per (mesh, static options) through
+module-level caches — repeated calls hit the jit cache instead of
+retracing — and `propagate_sharded` runs the same chunked driver as the
+single-chip engine (chroma_tpu.ops.propagate): between chunks each shard
+front-packs its survivors into a power-of-two bucket sized by the WORST
+shard (the bucket must be uniform across the mesh), so the lockstep width
+shrinks as the batch dies without any cross-chip photon motion.
 """
 from __future__ import annotations
 
-from functools import partial
+import os
+from functools import lru_cache, partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from chroma_tpu.ops.photon import propagate_step
 from chroma_tpu.ops import daq as daq_ops
+from chroma_tpu.ops.propagate import MIN_BATCH, _next_pow2
+from chroma_tpu.profiler import profiler
 
 AXIS = 'photons'
 
@@ -34,7 +46,6 @@ def photon_mesh(n_devices=None, devices=None):
         devices = jax.devices()
         if n_devices is not None:
             devices = devices[:n_devices]
-    import numpy as np
     return Mesh(np.asarray(devices).reshape(-1), (AXIS,))
 
 
@@ -43,66 +54,255 @@ def _shard_key(key):
     return jax.random.fold_in(key, jax.lax.axis_index(AXIS))
 
 
-def _local_steps(photons, geometry, key, nsteps, use_weights,
-                 scatter_first):
-    "Propagate the local shard for up to nsteps (early exit when dead)."
-    scatter_first = jnp.asarray(scatter_first, dtype=jnp.int32)
+# ---------------------------------------------------------------------------
+# cached sharded programs (one trace per mesh + static options)
+# ---------------------------------------------------------------------------
 
-    def cond(carry):
-        i, ph = carry
-        return (i < nsteps) & jnp.any(ph.alive)
 
-    def body(carry):
-        i, ph = carry
-        step_key = jax.random.fold_in(key, i)
-        sf = jnp.where(i == 0, scatter_first, 0)
-        ph = propagate_step(ph, geometry, step_key, use_weights=use_weights,
-                            scatter_first=sf)
-        return i + 1, ph
+@lru_cache(maxsize=None)
+def _steps_program(mesh, use_weights, prune):
+    """Sharded analog of ops.propagate.run_steps: each shard runs its own
+    early-exiting step loop; returns (photons, total alive, max alive per
+    shard) — the two scalars drive the host's chunk/bucket decisions with
+    a single 8-byte read."""
 
-    _, photons = jax.lax.while_loop(cond, body, (0, photons))
-    return photons
+    @partial(jax.jit, static_argnames=('nsteps',))
+    def run(ph, geom, key, start_step, scatter_first, nsteps):
+
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(P(AXIS), P(), P(), P(), P()),
+                 out_specs=(P(AXIS), P(), P()))
+        def _run(ph, geom, key, start_step, scatter_first):
+            key = _shard_key(key)
+
+            def cond(carry):
+                i, p = carry
+                return (i < nsteps) & jnp.any(p.alive)
+
+            def body(carry):
+                i, p = carry
+                abs_step = start_step + i
+                step_key = jax.random.fold_in(key, abs_step)
+                sf = jnp.where(abs_step == 0, scatter_first, 0)
+                p = propagate_step(p, geom, step_key,
+                                   use_weights=use_weights,
+                                   scatter_first=sf, prune=prune)
+                return i + 1, p
+
+            _, ph = jax.lax.while_loop(cond, body, (0, ph))
+            local = jnp.sum(ph.alive.astype(jnp.int32))
+            return (ph, jax.lax.psum(local, AXIS),
+                    jax.lax.pmax(local, AXIS))
+
+        return _run(ph, geom, key,
+                    jnp.asarray(start_step, jnp.int32),
+                    jnp.asarray(scatter_first, jnp.int32))
+
+    return run
+
+
+@lru_cache(maxsize=None)
+def _compact_program(mesh):
+    """Per-shard front-pack into a static per-shard `bucket` (lanes never
+    cross shards, so the carried original indices stay shard-local)."""
+
+    @partial(jax.jit, static_argnames=('bucket',))
+    def run(current, orig_idx, bucket):
+
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(P(AXIS), P(AXIS)),
+                 out_specs=(P(AXIS), P(AXIS)))
+        def _compact(cur, oi):
+            act = cur.alive
+            acti = act.astype(jnp.int32)
+            n_act = jnp.sum(acti)
+            fwd = jnp.cumsum(acti) - 1
+            bwd = n_act + jnp.cumsum(1 - acti) - 1
+            dest = jnp.where(act, fwd, bwd)
+            perm = jnp.zeros_like(dest).at[dest].set(
+                jnp.arange(dest.shape[0], dtype=dest.dtype))
+            sel = perm[:bucket]
+            return (jax.tree_util.tree_map(lambda a: a[sel], cur),
+                    oi[sel])
+
+        return _compact(current, orig_idx)
+
+    return run
+
+
+@lru_cache(maxsize=None)
+def _writeback_program(mesh, donate):
+    "Scatter a (smaller) live slice back into the full sharded batch."
+
+    def run(final, orig_idx, current):
+
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+                 out_specs=P(AXIS))
+        def _write(f, oi, cur):
+            return jax.tree_util.tree_map(
+                lambda ff, cc: ff.at[oi].set(cc), f, cur)
+
+        return _write(final, orig_idx, current)
+
+    return jax.jit(run, donate_argnums=(0,) if donate else ())
+
+
+@lru_cache(maxsize=None)
+def _daq_program(mesh, ndaq):
+    """Sharded DAQ acquire: per-shard run_daq + ICI channel reduction.
+    The ChannelArrays come back replicated on every chip."""
+
+    @jax.jit
+    def run(ph, geom, key):
+
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(P(AXIS), P(), P()), out_specs=P())
+        def _daq(ph, geom, key):
+            local = daq_ops.run_daq(ph, geom, _shard_key(key), ndaq=ndaq)
+            return reduce_channel_arrays(local)
+
+        return _daq(ph, geom, key)
+
+    return run
+
+
+@lru_cache(maxsize=None)
+def _channels_program(mesh):
+    "Sharded per-photon channel map (device-side flat-hit extraction)."
+
+    @jax.jit
+    def run(ph, geom):
+
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(P(AXIS), P()), out_specs=P(AXIS))
+        def _ch(ph, geom):
+            return daq_ops.photon_channels_device(ph, geom)
+
+        return _ch(ph, geom)
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# drivers
+# ---------------------------------------------------------------------------
 
 
 def propagate_sharded(photons, geometry, key, max_steps=100, mesh=None,
-                      use_weights=False, scatter_first=0):
-    """Propagate a photon batch sharded over the mesh's photon axis.
-    The batch length must divide evenly by the mesh size."""
+                      use_weights=False, scatter_first=0, compact=True,
+                      step_chunk='auto'):
+    """Propagate a photon batch sharded over the mesh's photon axis,
+    with the single-chip driver's chunked bucket compaction applied
+    per shard. The batch length must divide evenly by the mesh size.
+    Returns the final PhotonState (input length and order)."""
     if mesh is None:
         mesh = photon_mesh()
+    nsh = int(mesh.devices.size)
+    n = len(photons)
+    if n % nsh:
+        raise ValueError('batch length %d does not divide the %d-device '
+                         'mesh; pad first (see pad_to_mesh)' % (n, nsh))
+    prune = isinstance(scatter_first, int) and scatter_first == 0
+    steps = _steps_program(mesh, use_weights, prune)
+    writeback = _writeback_program(mesh, False)
+    writeback_d = _writeback_program(mesh, True)
+    compactor = _compact_program(mesh)
 
-    @jax.jit
-    @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(AXIS), P(), P()), out_specs=P(AXIS))
-    def run(ph, geom, key):
-        return _local_steps(ph, geom, _shard_key(key), max_steps,
-                            use_weights, scatter_first)
+    # shard-LOCAL original indices (compaction never crosses shards)
+    orig_idx = jnp.asarray(np.tile(np.arange(n // nsh, dtype=np.int32),
+                                   nsh))
+    final = photons
+    final_owned = False
+    current = photons
 
-    return run(photons, geometry, key)
+    growth = int(os.environ.get('CHROMA_CHUNK_GROWTH', '2'))
+    chunk_cap = int(os.environ.get('CHROMA_CHUNK_CAP', '32'))
+    chunk = 1 if step_chunk == 'auto' else step_chunk
+    step = 0
+    while True:
+        if step_chunk == 'auto':
+            chunk = min(chunk_cap, max(1, chunk * growth)) \
+                if step > 0 else 1
+        nsteps = min(chunk, max_steps - step)
+        with profiler.region('sharded.chunk[n=%d]' % len(current)):
+            current, alive_tot, alive_max = steps(
+                current, geometry, key, step, scatter_first,
+                nsteps=nsteps)
+            n_alive = int(alive_tot)
+            mx_alive = int(alive_max)
+        step += nsteps
+
+        def write_back(final, final_owned):
+            wb = writeback_d if final_owned else writeback
+            return wb(final, orig_idx, current), True
+
+        if n_alive == 0 or step >= max_steps:
+            final, final_owned = write_back(final, final_owned)
+            break
+
+        few = n_alive <= max(len(current) // 16, MIN_BATCH // 4)
+
+        bucket = _next_pow2(mx_alive)
+        if compact and bucket * nsh < len(current):
+            final, final_owned = write_back(final, final_owned)
+            current, orig_idx = compactor(current, orig_idx,
+                                          bucket=bucket)
+
+        if few and step < max_steps:
+            current, _, _ = steps(current, geometry, key, step,
+                                  scatter_first, nsteps=max_steps - step)
+            final, final_owned = write_back(final, final_owned)
+            break
+
+    return final
 
 
 def propagate_and_daq_sharded(photons, geometry, key, max_steps=100,
                               mesh=None, use_weights=False,
-                              scatter_first=0):
-    """Full sharded step: propagate the photon shards, then reduce the DAQ
-    channel arrays across chips (pmin for earliest time, psum for charge,
-    gathered OR for histories). Returns (photons, ChannelArrays), with the
+                              scatter_first=0, ndaq=1, **driver_kwargs):
+    """Full sharded step: chunked sharded propagation, then the DAQ
+    channel reduction across chips (pmin earliest time, psum charge,
+    per-bit OR histories). Returns (photons, ChannelArrays) with the
     channel arrays replicated on every chip."""
     if mesh is None:
         mesh = photon_mesh()
+    out = propagate_sharded(photons, geometry, key, max_steps=max_steps,
+                            mesh=mesh, use_weights=use_weights,
+                            scatter_first=scatter_first, **driver_kwargs)
+    channels = _daq_program(mesh, ndaq)(
+        out, geometry, jax.random.fold_in(key, 0x7fffffff))
+    return out, channels
 
-    @jax.jit
-    @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(AXIS), P(), P()),
-             out_specs=(P(AXIS), P()))
-    def run(ph, geom, key):
-        key = _shard_key(key)
-        ph = _local_steps(ph, geom, key, max_steps, use_weights,
-                          scatter_first)
-        local = daq_ops.run_daq(ph, geom, jax.random.fold_in(key, 0x7fffffff))
-        return ph, reduce_channel_arrays(local)
 
-    return run(photons, geometry, key)
+def photon_channels_sharded(photons, geometry, mesh=None):
+    "Per-photon channel ids (-1 undetected), sharded over the mesh."
+    if mesh is None:
+        mesh = photon_mesh()
+    return _channels_program(mesh)(photons, geometry)
+
+
+def pad_to_mesh(state, mesh):
+    """Pad a PhotonState to a multiple of the mesh size with terminated
+    zero-weight lanes (flags=NO_HIT -> dead, never detected)."""
+    from chroma_tpu.event import NO_HIT
+    nsh = int(mesh.devices.size)
+    n = len(state)
+    pad = (-n) % nsh
+    if pad == 0:
+        return state, n
+
+    def _pad(a):
+        widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, widths)
+
+    padded = jax.tree_util.tree_map(_pad, state)
+    padded = padded.replace(
+        flags=padded.flags.at[n:].set(jnp.uint32(NO_HIT)),
+        last_hit_triangle=padded.last_hit_triangle.at[n:].set(-1),
+        cur_mat=None if state.cur_mat is None
+        else padded.cur_mat.at[n:].set(-1))
+    return padded, n
 
 
 def reduce_channel_arrays(local):

@@ -35,12 +35,22 @@ def pick_seed():
 
 class Simulation(object):
     def __init__(self, detector, seed=None, photon_tracking=False,
-                 wavelengths=None, times=None, **compat_kwargs):
+                 wavelengths=None, times=None, mesh=None, n_devices=None,
+                 **compat_kwargs):
         """Create a simulation around a flattened Geometry/Detector.
+
+        mesh / n_devices: run multi-chip — photons shard over a 1-D
+        jax.sharding.Mesh (chroma_tpu.parallel), geometry replicated,
+        DAQ reductions riding ICI collectives. Batches that don't divide
+        the mesh are padded with dead lanes.
 
         `compat_kwargs` absorbs reference-only options (cuda_device,
         nthreads_per_block, max_blocks) so call sites port unchanged.
         """
+        if mesh is None and n_devices is not None:
+            from chroma_tpu.parallel import photon_mesh
+            mesh = photon_mesh(n_devices)
+        self.mesh = mesh
         if getattr(detector, 'bvh', None) is None or \
                 not hasattr(detector, 'mesh'):
             detector = create_geometry_from_obj(detector)
@@ -157,13 +167,25 @@ class Simulation(object):
                 state = photon_state_from_host(batch)
         key = self._next_key()
 
-        result = propagate(state, self.gpu_geometry, key,
-                           max_steps=max_steps,
-                           step_chunk=1 if self.photon_tracking
-                           else self.step_chunk,
-                           track_steps=self.photon_tracking)
-        if self.photon_tracking:
-            result, tracking = result
+        if self.mesh is not None and not self.photon_tracking:
+            # multi-chip: pad to the mesh, shard the photon axis, un-pad
+            from chroma_tpu.parallel import propagate_sharded, pad_to_mesh
+            import jax.tree_util as jtu
+            padded, true_n = pad_to_mesh(state, self.mesh)
+            result = propagate_sharded(padded, self.gpu_geometry, key,
+                                       max_steps=max_steps,
+                                       mesh=self.mesh,
+                                       step_chunk=self.step_chunk)
+            if len(result) != true_n:
+                result = jtu.tree_map(lambda a: a[:true_n], result)
+        else:
+            result = propagate(state, self.gpu_geometry, key,
+                               max_steps=max_steps,
+                               step_chunk=1 if self.photon_tracking
+                               else self.step_chunk,
+                               track_steps=self.photon_tracking)
+            if self.photon_tracking:
+                result, tracking = result
 
         if verbose:
             logger.info('batch of %d photons took %.2f s'

@@ -66,10 +66,14 @@ class Likelihood(object):
 
     def eval(self, vertex_generator, nevals, nreps=16, ndaq=50):
         """Negative log likelihood that the event came from the given
-        vertex generator."""
+        vertex generator. The returned ufloat carries the statistical
+        uncertainty of the PDF term (sigma(log p) = sigma_p / p summed in
+        quadrature over hit channels) — the reference computes
+        pdf_prob_uncert but then discards it in its own eval
+        (reference: likelihood.py:92-111, ufloat((..., 0.0)))."""
         ntotal = nevals * nreps * ndaq
-        hit_prob, pdf_prob, _ = self.eval_channel_vbin(vertex_generator,
-                                                       nevals, nreps, ndaq)
+        hit_prob, pdf_prob, pdf_prob_uncert = self.eval_channel_vbin(
+            vertex_generator, nevals, nreps, ndaq)
 
         hit = self.event.channels.hit
         hit_prob = hit_prob.copy()
@@ -77,8 +81,10 @@ class Likelihood(object):
         hit_prob = np.maximum(hit_prob, 0.5 / ntotal)
 
         log_likelihood = ufloat(np.log(hit_prob).sum(), 0.0)
+        rel = pdf_prob_uncert[hit] / pdf_prob[hit]
         log_likelihood = log_likelihood + ufloat(
-            np.log(pdf_prob[hit]).sum(), 0.0)
+            np.log(pdf_prob[hit]).sum(),
+            float(np.sqrt(np.sum(rel * rel))))
         return -log_likelihood
 
     def setup_kernel(self, vertex_generator, nevals, nreps, ndaq,

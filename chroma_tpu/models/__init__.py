@@ -2,8 +2,9 @@
 
 Any .stl / .stl.bz2 file placed in this directory becomes a loadable
 attribute (usable as "@chroma_tpu.models.<name>" geometry strings).
-A few procedural stand-ins are always available since this distribution
-ships no binary mesh assets."""
+Ships the same public demo mesh assets as the reference (companioncube,
+liberty, lionsolid, MiniFig, tie_interceptor6 — data files, not code)
+plus a few procedural extras."""
 import glob
 import os.path
 import sys

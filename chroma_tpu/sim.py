@@ -105,9 +105,10 @@ class Simulation(object):
             # (reference: gpu/photon.py:66-95 GPU-array sources)
             iterable = (event.Event(photons_beg=x) for x in iterable)
         elif isinstance(first_element, event.Vertex):
-            raise NotImplementedError(
-                'Vertex input requires a particle generator; feed Photons '
-                'or Events instead')
+            # parametric light model stands in for the removed GEANT4
+            # layer (chroma_tpu.generator; reference: chroma/generator)
+            from chroma_tpu.generator import vertex_gun_to_events
+            iterable = vertex_gun_to_events(iterable)
 
         nphotons = 0
         batch_events = []

@@ -17,24 +17,23 @@ def count_nonzero(array):
 
 
 def filled_array(value, shape, dtype):
-    a = np.empty(shape=shape, dtype=dtype)
-    a.fill(value)
-    return a
+    return np.full(shape, value, dtype=dtype)
 
 
-def progress(seq):
-    "Print progress dots while iterating over `seq`."
-    n = len(seq)
-    print('[' + ' ' * 21 + ']\r[', end=' ')
-    sys.stdout.flush()
-    update_interval = max(n // 10, 1)
-    for i, item in enumerate(seq):
-        if i % update_interval == 0:
-            print('.', end=' ')
-            sys.stdout.flush()
+def progress(seq, width=32, stream=sys.stderr):
+    "Iterate over `seq` drawing an in-place progress bar on `stream`."
+    total = len(seq)
+    shown = -1
+    for done, item in enumerate(seq, start=1):
+        filled = width * done // max(total, 1)
+        if filled != shown:
+            shown = filled
+            bar = '#' * filled + '-' * (width - filled)
+            stream.write('\r|%s| %d/%d' % (bar, done, total))
+            stream.flush()
         yield item
-    print(']')
-    sys.stdout.flush()
+    stream.write('\n')
+    stream.flush()
 
 
 def debugger_hook(type, value, tb):
@@ -94,91 +93,99 @@ def read_csv(filename):
 
 def offset(points, x, tol=1e-9):
     """Offset the open 2-D profile `points` perpendicular to its path by
-    distance `x` (positive = path direction rotated 90 deg clockwise).
-    Consecutive duplicate points within `tol` are dropped first."""
-    points = np.asarray(points)
+    distance `x` (positive = path direction rotated 90 deg clockwise),
+    fully vectorized: each output vertex is the intersection of its two
+    adjacent offset segments (miter join), falling back to the segment
+    endpoint where they are parallel. Consecutive duplicates within
+    `tol` are dropped first."""
+    pts = np.asarray(points, dtype=float)
+    dedup = np.r_[True, np.linalg.norm(np.diff(pts, axis=0), axis=1) > tol]
+    pts = pts[dedup]
 
-    keep = np.ones(len(points), dtype=bool)
-    keep[1:] = np.linalg.norm(points[1:] - points[:-1], axis=1) > tol
-    points = points[keep]
+    # per-segment unit tangents and clockwise normals (2-D)
+    tang = np.diff(pts, axis=0)
+    tang /= np.linalg.norm(tang, axis=1, keepdims=True)
+    norm = np.column_stack([tang[:, 1], -tang[:, 0]]) * x
 
-    # extrapolate one point at each end so every original point has two edges
-    points = np.vstack([points[0] - (points[1] - points[0]),
-                        points,
-                        points[-1] - (points[-2] - points[-1])])
+    # offset segments: seg i runs a[i] -> b[i]
+    a = pts[:-1] + norm
+    b = pts[1:] + norm
 
-    offset_points = []
-    for i in range(1, len(points) - 1):
-        v1 = np.cross(points[i] - points[i - 1], (0, 0, 1))[:2]
-        v1 = v1 / np.linalg.norm(v1) * x
-        a = points[i - 1] + v1
-        b = points[i] + v1
+    # interior joins: solve a[i] + s*t[i] == a[i+1] + u*t[i+1] by Cramer
+    t0, t1 = tang[:-1], tang[1:]
+    det = t0[:, 0] * t1[:, 1] - t0[:, 1] * t1[:, 0]
+    rhs = a[1:] - b[:-1]
+    parallel = np.abs(det) < 1e-12
+    s = np.where(parallel, 0.0,
+                 (rhs[:, 0] * t1[:, 1] - rhs[:, 1] * t1[:, 0])
+                 / np.where(parallel, 1.0, det))
+    joins = b[:-1] + s[:, None] * t0
 
-        v2 = np.cross(points[i + 1] - points[i], (0, 0, 1))[:2]
-        v2 = v2 / np.linalg.norm(v2) * x
-        c = points[i] + v2
-        d = points[i + 1] + v2
-
-        m = np.empty((2, 2))
-        m[:, 0] = b - a
-        m[:, 1] = c - d
-        try:
-            j = np.linalg.solve(m, c - a)[0]
-        except np.linalg.LinAlgError:
-            offset_points.append(b)
-            continue
-        offset_points.append(a + j * (b - a))
-
-    return np.array(offset_points)
+    return np.vstack([a[:1], joins, b[-1:]])
 
 
 def memoize_method_with_dictionary_arg(func):
-    def lookup(*args):
-        assert len(args) == 2
-        hashable_args = (args[0], tuple(args[1].items()))
-        try:
-            return func._memoize_dic[hashable_args]
-        except AttributeError:
-            result = func(*args)
-            func._memoize_dic = {hashable_args: result}
-            return result
-        except KeyError:
-            result = func(*args)
-            func._memoize_dic[hashable_args] = result
-            return result
-    return lookup
+    """Memoize a two-argument method whose second argument is a dict
+    (made hashable by sorting its items). One cache per decorated
+    function, held here rather than on the function object."""
+    cache = {}
+
+    def wrapper(self, dict_arg):
+        key = (self, tuple(sorted(dict_arg.items())))
+        if key not in cache:
+            cache[key] = func(self, dict_arg)
+        return cache[key]
+    return wrapper
+
+
+def _spread_bits_2(v):
+    """Insert two zero bits between each of the low 21 bits of `v`
+    (uint64 vector), the standard mask-shift expansion."""
+    v = v.astype(np.uint64) & np.uint64(0x1fffff)
+    v = (v | (v << np.uint64(32))) & np.uint64(0x1f00000000ffff)
+    v = (v | (v << np.uint64(16))) & np.uint64(0x1f0000ff0000ff)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x100f00f00f00f00f)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x10c30c30c30c30c3)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x1249249249249249)
+    return v
+
+
+def _spread_bits_1(v):
+    "Insert one zero bit between each of the low 32 bits of `v`."
+    v = v.astype(np.uint64) & np.uint64(0xffffffff)
+    v = (v | (v << np.uint64(16))) & np.uint64(0x0000ffff0000ffff)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00ff00ff00ff00ff)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0f0f0f0f0f0f0f0f)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return v
 
 
 def interleave3d(arr, bits):
-    """Interleave the low `bits` bits of quantized 3-D integer points into
-    Morton codes (x highest)."""
-    if len(arr.shape) != 2 or arr.shape[1] != 3:
+    """Morton codes of quantized 3-D integer points (x in the highest bit
+    position), via vectorized mask-shift bit spreading — O(1) passes
+    instead of a per-bit loop."""
+    arr = np.asarray(arr)
+    if arr.ndim != 2 or arr.shape[1] != 3:
         raise Exception('shape mismatch')
-    z = np.zeros(arr.shape[0], dtype=np.uint64)
-    arr = arr.astype(np.uint64)
-    for i in range(bits):
-        z |= ((arr[:, 2] & (1 << i)) << (2 * i)
-              | (arr[:, 1] & (1 << i)) << (2 * i + 1)
-              | (arr[:, 0] & (1 << i)) << (2 * i + 2))
-    return z
+    mask = np.uint64((1 << bits) - 1)
+    x, y, z = (arr[:, i].astype(np.uint64) & mask for i in range(3))
+    return ((_spread_bits_2(x) << np.uint64(2))
+            | (_spread_bits_2(y) << np.uint64(1))
+            | _spread_bits_2(z))
 
 
 def argsort_direction(dir):
     """argsort of direction vectors by Morton order of their spherical
     coordinates; groups coherent rays for better memory locality in the
     traversal kernels."""
-    bits = 16
-    maxint = 2 ** bits - 1
-    theta = (np.arccos(np.clip(dir[:, 2], -1, 1)) / np.pi
-             * maxint).astype(np.uint32)
-    phi = ((np.arctan2(dir[:, 1], dir[:, 0]) / np.pi / 2.0 + 0.5)
-           * maxint).astype(np.uint32)
-    morton = np.zeros(len(dir), dtype=np.uint64)
-    theta = theta.astype(np.uint64)
-    phi = phi.astype(np.uint64)
-    for i in range(bits):
-        morton |= (theta & (1 << i)) << i | (phi & (1 << i)) << (i + 1)
-    return np.argsort(morton)
+    maxint = np.uint32(0xffff)
+    theta = np.uint64(np.arccos(np.clip(dir[:, 2], -1, 1))
+                      / np.pi * maxint)
+    phi = np.uint64((np.arctan2(dir[:, 1], dir[:, 0])
+                     / (2 * np.pi) + 0.5) * maxint)
+    code = (_spread_bits_1(phi) << np.uint64(1)) | _spread_bits_1(theta)
+    return np.argsort(code)
 
 
 def from_film(position=(0, 0, 0), axis1=(0, 0, 1), axis2=(1, 0, 0),

@@ -179,15 +179,39 @@ def run_config(quick, nphotons, reps):
     rays_per_sec = measure_rays(ga, nphotons, max(reps - 1, 1))
     print('# BVH ray throughput: %.2f Mrays/s' % (rays_per_sec / 1e6),
           file=sys.stderr)
+    sim_value = measure_simulation(ga, nphotons, max(reps - 1, 1))
+    print('# Simulation-level: %.0f photons/s (%.0f%% of raw propagate)'
+          % (sim_value, 100.0 * sim_value / value), file=sys.stderr)
     return {
         'photon_propagation_throughput': round(value, 1),
         'photons_per_sec_vs_baseline': round(
             value / BASELINE_PHOTONS_PER_SEC, 4),
         'bvh_ray_throughput_mrays': round(rays_per_sec / 1e6, 3),
+        'simulation_photons_per_sec': round(sim_value, 1),
         'detector_pmts': nch,
         'detector_triangles': ntri,
         'nphotons': nphotons,
     }
+
+
+def measure_simulation(ga, nphotons, reps):
+    """End-to-end Simulation throughput: device-resident sources in,
+    flat hits out (device-side channel map + minority transfer). The gap
+    to raw `propagate` is the event-assembly overhead."""
+    from chroma_tpu.sim import Simulation
+
+    sim = Simulation(None, seed=7, gpu_geometry=ga)
+    best = float('inf')
+    for rep in range(reps + 1):
+        ps = photon_bomb(nphotons, 500 + rep)
+        t0 = time.time()
+        evs = list(sim.simulate(ps, max_steps=100, keep_hits=False))
+        dt = time.time() - t0
+        nhits = len(evs[0].flat_hits)
+        if rep > 0:
+            best = min(best, dt)
+    print('# sim flat hits: %d' % nhits, file=sys.stderr)
+    return nphotons / best
 
 
 def _emit(metrics):

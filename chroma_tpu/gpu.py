@@ -19,6 +19,33 @@ from chroma_tpu.ops import pdf as pdf_ops
 from chroma_tpu.ops.photon import PhotonState
 
 
+@jax.jit
+def _flag_pack(state, flag):
+    "Front-pack lanes whose history matches `flag` (see daq.flat_hit_pack)."
+    import jax.numpy as jnp
+    match = (state.flags & flag) != 0
+    mi = match.astype(jnp.int32)
+    n = jnp.sum(mi)
+    fwd = jnp.cumsum(mi) - 1
+    bwd = n + jnp.cumsum(1 - mi) - 1
+    dest = jnp.where(match, fwd, bwd)
+    perm = jnp.zeros_like(dest).at[dest].set(
+        jnp.arange(dest.shape[0], dtype=dest.dtype))
+    return perm, n
+
+
+def _select_flag(state, flag):
+    "Jitted select: (packed substate of pow-2 size >= count, count)."
+    perm, n_dev = _flag_pack(state, flag)
+    n = int(n_dev)
+    m = 1
+    while m < max(n, 1):
+        m <<= 1
+    m = min(m, len(state))
+    sub = daq_ops.gather_hits(state, state.flags, perm, m)[0]
+    return sub, n
+
+
 def join_states(states):
     """Concatenate device PhotonStates along the photon axis without any
     host round trip (the analog of the reference's device-side source
@@ -116,28 +143,17 @@ class GPUPhotons(object):
         return photon_state_to_host(self.state)
 
     def get_flat_hits(self, gpu_geometry):
-        """Photons detected by channels. Counts and compacts ON DEVICE,
-        transferring only the detected minority, like the reference's
-        count->alloc->copy kernels (reference: gpu/photon.py:141-209)."""
-        import jax.numpy as jnp
-        channel = daq_ops.photon_channels_device(
-            self.state, gpu_geometry.arrays)
-        detected = channel >= 0
-        n = int(jnp.sum(detected))
-        order = jnp.argsort(jnp.where(detected, 0, 1), stable=True)[:n]
-        sub = jax.tree_util.tree_map(lambda a: a[order], self.state)
-        ch = np.asarray(channel[order]).astype(np.uint32)
-        return photon_state_to_host(sub, channel=ch)
+        """Photons detected by channels. Counts and compacts ON DEVICE
+        (one jitted pack + one gather launch), transferring only the
+        detected minority, like the reference's count->alloc->copy
+        kernels (reference: gpu/photon.py:141-209)."""
+        return daq_ops.extract_flat_hits(self.state, gpu_geometry.arrays)
 
     def select(self, target_flag):
         """Photons whose history matches target_flag (device-side count
         and compaction, host transfer of the selection only)."""
-        import jax.numpy as jnp
-        match = (self.state.flags & jnp.uint32(target_flag)) != 0
-        n = int(jnp.sum(match))
-        order = jnp.argsort(jnp.where(match, 0, 1), stable=True)[:n]
-        sub = jax.tree_util.tree_map(lambda a: a[order], self.state)
-        return photon_state_to_host(sub)
+        sub, n = _select_flag(self.state, np.uint32(target_flag))
+        return photon_state_to_host(sub)[:int(n)]
 
 
 class GPUDaq(object):

@@ -15,6 +15,8 @@ granularity.
 """
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 from flax import struct
@@ -170,6 +172,54 @@ def photon_channels_device(state, geometry_arrays):
     detected = (valid & (channel >= 0)
                 & ((state.flags & jnp.uint32(_SD)) != 0))
     return jnp.where(detected, channel, -1).astype(jnp.int32)
+
+
+@jax.jit
+def flat_hit_pack(state, geometry_arrays):
+    """Front-pack detected lanes, fully jitted: returns (channel (N,),
+    perm (N,) with detected lanes first, n_detected ()). Two O(N)
+    cumsums + an iota scatter — a stable argsort costs ~4x more, and
+    running these ops eagerly through the remote runtime costs ~70 ms
+    of dispatch EACH (measured: eager hit extraction was 7 s/1M photons,
+    ~6x the whole propagation)."""
+    channel = photon_channels_device(state, geometry_arrays)
+    det = channel >= 0
+    deti = det.astype(jnp.int32)
+    n_det = jnp.sum(deti)
+    fwd = jnp.cumsum(deti) - 1
+    bwd = n_det + jnp.cumsum(1 - deti) - 1
+    dest = jnp.where(det, fwd, bwd)
+    perm = jnp.zeros_like(dest).at[dest].set(
+        jnp.arange(dest.shape[0], dtype=dest.dtype))
+    return channel, perm, n_det
+
+
+@partial(jax.jit, static_argnames=('m',))
+def gather_hits(state, channel, perm, m):
+    """Gather the first `m` packed lanes (m = n_detected rounded up to a
+    power of two so the program caches; the tail has channel == -1)."""
+    sel = perm[:m]
+    sub = jax.tree_util.tree_map(lambda a: a[sel], state)
+    return sub, channel[sel]
+
+
+def extract_flat_hits(state, geometry_arrays):
+    """Detected photons as a host event.Photons with channels: device
+    count + front-pack, transfer of (just over) the detected minority
+    (reference: gpu/photon.py:141-209 count->alloc->copy kernels)."""
+    import numpy as np
+    from chroma_tpu.ops.propagate import photon_state_to_host
+
+    channel, perm, n_det = flat_hit_pack(state, geometry_arrays)
+    n = int(n_det)
+    m = 1
+    while m < max(n, 1):
+        m <<= 1
+    m = min(m, len(state))
+    sub, ch = gather_hits(state, channel, perm, m)
+    hits = photon_state_to_host(
+        sub, channel=np.maximum(np.asarray(ch), 0).astype(np.uint32))
+    return hits[:n]
 
 
 def photon_channels(photons_host, solid_id, solid_id_to_channel_index):

@@ -73,17 +73,9 @@ def photon_state_to_host(state, channel=None):
     )
 
 
-@partial(jax.jit, static_argnames=('nsteps', 'use_weights', 'prune'))
-def run_steps(photons, geometry, key, start_step, nsteps, use_weights=False,
-              scatter_first=0, prune=True):
-    """Run up to `nsteps` propagation steps, exiting early when every
-    photon has terminated. Keys derive from (key, absolute step), so for a
-    FIXED batch layout any resume chunking gives identical histories;
-    after a compaction the lane order changes and draws reassign (the
-    reference's thread-keyed curand has the same property). Results are
-    exactly reproducible for a given (seed, chunking) and
-    distribution-identical across chunkings. scatter_first only applies
-    at absolute step 0 (reference: propagate.cu:319)."""
+def _steps_loop(photons, geometry, key, start_step, nsteps, use_weights,
+                scatter_first, prune):
+    "Shared early-exiting step loop (traced inside the jitted programs)."
     scatter_first = jnp.asarray(scatter_first, dtype=jnp.int32)
 
     def cond(carry):
@@ -105,6 +97,21 @@ def run_steps(photons, geometry, key, start_step, nsteps, use_weights=False,
     # instead of a separate dispatch (remote sync ~74 ms either way, but
     # the extra ~25 ms count launch is gone)
     return photons, steps_done, jnp.sum(photons.alive.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=('nsteps', 'use_weights', 'prune'))
+def run_steps(photons, geometry, key, start_step, nsteps, use_weights=False,
+              scatter_first=0, prune=True):
+    """Run up to `nsteps` propagation steps, exiting early when every
+    photon has terminated. Keys derive from (key, absolute step), so for a
+    FIXED batch layout any resume chunking gives identical histories;
+    after a compaction the lane order changes and draws reassign (the
+    reference's thread-keyed curand has the same property). Results are
+    exactly reproducible for a given (seed, chunking) and
+    distribution-identical across chunkings. scatter_first only applies
+    at absolute step 0 (reference: propagate.cu:319)."""
+    return _steps_loop(photons, geometry, key, start_step, nsteps,
+                       use_weights, scatter_first, prune)
 
 
 def _next_pow2(x):
@@ -129,8 +136,7 @@ _scatter_into = jax.jit(_scatter_tree)
 _scatter_into_donated = jax.jit(_scatter_tree, donate_argnums=0)
 
 
-@partial(jax.jit, static_argnames=('bucket',))
-def _compact(current, orig_idx, bucket):
+def _compact_tree(current, orig_idx, bucket):
     """Device-side compaction: stable-partition live lanes to the front and
     keep the first `bucket` of them. Replaces the reference's queue swap
     (gpu/photon.py:277-286) without any host transfer of photon data.
@@ -147,6 +153,36 @@ def _compact(current, orig_idx, bucket):
     sel = perm[:bucket]
     return (jax.tree_util.tree_map(lambda a: a[sel], current),
             orig_idx[sel])
+
+
+_compact = jax.jit(_compact_tree, static_argnames=('bucket',))
+
+
+def _fused_chunk_impl(final, current, orig_idx, geometry, key, start_step,
+                      nsteps, bucket, use_weights, scatter_first, prune):
+    """One chunk boundary + next chunk as a SINGLE program: write the
+    finished batch back into `final`, compact survivors into `bucket`
+    lanes, and run the next `nsteps`. Each separate launch through the
+    remote runtime costs ~45 ms of host dispatch; fusing the three
+    per-boundary programs into one is worth ~15-20% end-to-end on a
+    1M-photon bomb."""
+    final = _scatter_tree(final, orig_idx, current)
+    current, orig_idx = _compact_tree(current, orig_idx, bucket)
+    current, steps_done, alive = _steps_loop(
+        current, geometry, key, start_step, nsteps, use_weights,
+        scatter_first, prune)
+    return final, current, orig_idx, steps_done, alive
+
+
+# first boundary targets the caller's input buffers (must copy `final`);
+# later ones target driver-owned buffers and donate them in place
+_fused_chunk = jax.jit(
+    _fused_chunk_impl,
+    static_argnames=('nsteps', 'bucket', 'use_weights', 'prune'))
+_fused_chunk_donated = jax.jit(
+    _fused_chunk_impl,
+    static_argnames=('nsteps', 'bucket', 'use_weights', 'prune'),
+    donate_argnums=(0,))
 
 
 def propagate(photons, geometry, key, max_steps=100, use_weights=False,
@@ -176,7 +212,8 @@ def propagate(photons, geometry, key, max_steps=100, use_weights=False,
     step = 0
     current = photons
     chunk = 1 if step_chunk == 'auto' else step_chunk
-    while True:
+    n_alive = None
+    while step < max_steps:
         if step_chunk == 'auto':
             # compact as soon as possible while the batch is large (most
             # photons die within the first steps — measured ~60% after
@@ -187,13 +224,43 @@ def propagate(photons, geometry, key, max_steps=100, use_weights=False,
             chunk = min(chunk_cap, max(1, chunk * growth)) \
                 if step > 0 else 1
         nsteps = min(chunk, max_steps - step)
-        with profiler.region('propagate.chunk[n=%d]' % len(current)):
-            current, _, alive = run_steps(current, geometry, key, step,
-                                          nsteps,
-                                          use_weights=use_weights,
-                                          scatter_first=scatter_first,
-                                          prune=prune)
-            n_alive = int(alive)
+
+        if step == 0:
+            with profiler.region('propagate.chunk[n=%d]' % len(current)):
+                current, _, alive = run_steps(
+                    current, geometry, key, step, nsteps,
+                    use_weights=use_weights,
+                    scatter_first=scatter_first, prune=prune)
+                n_alive = int(alive)
+        else:
+            # few survivors: finish their remaining steps in one launch
+            # (reference heuristic: gpu/photon.py:259-264)
+            few = n_alive <= max(len(current) // 16, MIN_BATCH // 4)
+            if few:
+                nsteps = max_steps - step
+            bucket = _next_pow2(n_alive)
+            if compact and bucket < len(current):
+                # chunk boundary: ONE fused launch does write-back +
+                # compaction + the next chunk (3 separate remote
+                # dispatches cost ~45 ms host time each)
+                fused = (_fused_chunk_donated if final_owned
+                         else _fused_chunk)
+                with profiler.region('propagate.chunk[n=%d]' % bucket):
+                    final, current, orig_idx, _, alive = fused(
+                        final, current, orig_idx, geometry, key, step,
+                        nsteps, bucket, use_weights, scatter_first,
+                        prune)
+                    final_owned = True
+                    n_alive = int(alive)
+            else:
+                with profiler.region('propagate.chunk[n=%d]'
+                                     % len(current)):
+                    current, _, alive = run_steps(
+                        current, geometry, key, step, nsteps,
+                        use_weights=use_weights,
+                        scatter_first=scatter_first, prune=prune)
+                    n_alive = int(alive)
+
         step += nsteps
         profiler.count('propagate.steps', nsteps)
         profiler.count('propagate.lane_steps', nsteps * len(current))
@@ -203,37 +270,12 @@ def propagate(photons, geometry, key, max_steps=100, use_weights=False,
             tracking.append((np.asarray(orig_idx),
                              jax.tree_util.tree_map(np.asarray, current)))
 
-        def write_back(final, final_owned):
-            scatter = (_scatter_into_donated if final_owned
-                       else _scatter_into)
-            return scatter(final, orig_idx, current), True
-
-        if n_alive == 0 or step >= max_steps:
-            final, final_owned = write_back(final, final_owned)
+        if n_alive == 0:
             break
 
-        # few survivors: finish their remaining steps in one launch
-        # (reference heuristic: gpu/photon.py:259-264)
-        few = n_alive <= max(len(current) // 16, MIN_BATCH // 4)
-
-        bucket = _next_pow2(n_alive)
-        if compact and bucket < len(current):
-            final, final_owned = write_back(final, final_owned)
-            current, orig_idx = _compact(current, orig_idx, bucket)
-
-        if few and step < max_steps:
-            current, _, _ = run_steps(current, geometry, key, step,
-                                      max_steps - step,
-                                      use_weights=use_weights,
-                                      scatter_first=scatter_first,
-                                      prune=prune)
-            step = max_steps
-            if track_steps:
-                tracking.append((np.asarray(orig_idx),
-                                 jax.tree_util.tree_map(np.asarray,
-                                                        current)))
-            final, final_owned = write_back(final, final_owned)
-            break
+    # the last chunk's survivors-and-dead are still in `current`
+    scatter = _scatter_into_donated if final_owned else _scatter_into
+    final = scatter(final, orig_idx, current)
 
     result = final
     if bool(_any_aborted(result)):

@@ -102,17 +102,23 @@ def _steps_program(mesh, use_weights, prune):
 
 
 @lru_cache(maxsize=None)
-def _compact_program(mesh):
-    """Per-shard front-pack into a static per-shard `bucket` (lanes never
-    cross shards, so the carried original indices stay shard-local)."""
+def _fused_program(mesh, use_weights, prune, donate):
+    """Chunk boundary + next chunk in ONE launch (write-back, per-shard
+    compaction, step loop) — the sharded analog of
+    ops.propagate._fused_chunk; each avoided dispatch saves ~45 ms of
+    host time through the remote runtime."""
 
-    @partial(jax.jit, static_argnames=('bucket',))
-    def run(current, orig_idx, bucket):
+    def run(final, current, orig_idx, geom, key, start_step,
+            scatter_first, nsteps, bucket):
 
         @partial(jax.shard_map, mesh=mesh,
-                 in_specs=(P(AXIS), P(AXIS)),
-                 out_specs=(P(AXIS), P(AXIS)))
-        def _compact(cur, oi):
+                 in_specs=(P(AXIS), P(AXIS), P(AXIS), P(), P(), P(),
+                           P()),
+                 out_specs=(P(AXIS), P(AXIS), P(AXIS), P(), P()))
+        def _run(f, cur, oi, geom, key, start_step, scatter_first):
+            f = jax.tree_util.tree_map(
+                lambda ff, cc: ff.at[oi].set(cc), f, cur)
+
             act = cur.alive
             acti = act.astype(jnp.int32)
             n_act = jnp.sum(acti)
@@ -122,12 +128,36 @@ def _compact_program(mesh):
             perm = jnp.zeros_like(dest).at[dest].set(
                 jnp.arange(dest.shape[0], dtype=dest.dtype))
             sel = perm[:bucket]
-            return (jax.tree_util.tree_map(lambda a: a[sel], cur),
-                    oi[sel])
+            cur = jax.tree_util.tree_map(lambda a: a[sel], cur)
+            oi = oi[sel]
 
-        return _compact(current, orig_idx)
+            key = _shard_key(key)
 
-    return run
+            def cond(carry):
+                i, p = carry
+                return (i < nsteps) & jnp.any(p.alive)
+
+            def body(carry):
+                i, p = carry
+                abs_step = start_step + i
+                step_key = jax.random.fold_in(key, abs_step)
+                sf = jnp.where(abs_step == 0, scatter_first, 0)
+                p = propagate_step(p, geom, step_key,
+                                   use_weights=use_weights,
+                                   scatter_first=sf, prune=prune)
+                return i + 1, p
+
+            _, cur = jax.lax.while_loop(cond, body, (0, cur))
+            local = jnp.sum(cur.alive.astype(jnp.int32))
+            return (f, cur, oi, jax.lax.psum(local, AXIS),
+                    jax.lax.pmax(local, AXIS))
+
+        return _run(final, current, orig_idx, geom, key,
+                    jnp.asarray(start_step, jnp.int32),
+                    jnp.asarray(scatter_first, jnp.int32))
+
+    return jax.jit(run, static_argnames=('nsteps', 'bucket'),
+                   donate_argnums=(0,) if donate else ())
 
 
 @lru_cache(maxsize=None)
@@ -207,7 +237,8 @@ def propagate_sharded(photons, geometry, key, max_steps=100, mesh=None,
     steps = _steps_program(mesh, use_weights, prune)
     writeback = _writeback_program(mesh, False)
     writeback_d = _writeback_program(mesh, True)
-    compactor = _compact_program(mesh)
+    fused = _fused_program(mesh, use_weights, prune, False)
+    fused_d = _fused_program(mesh, use_weights, prune, True)
 
     # shard-LOCAL original indices (compaction never crosses shards)
     orig_idx = jnp.asarray(np.tile(np.arange(n // nsh, dtype=np.int32),
@@ -220,42 +251,54 @@ def propagate_sharded(photons, geometry, key, max_steps=100, mesh=None,
     chunk_cap = int(os.environ.get('CHROMA_CHUNK_CAP', '32'))
     chunk = 1 if step_chunk == 'auto' else step_chunk
     step = 0
-    while True:
+    n_alive = mx_alive = None
+    while step < max_steps:
         if step_chunk == 'auto':
             chunk = min(chunk_cap, max(1, chunk * growth)) \
                 if step > 0 else 1
         nsteps = min(chunk, max_steps - step)
-        with profiler.region('sharded.chunk[n=%d]' % len(current)):
-            current, alive_tot, alive_max = steps(
-                current, geometry, key, step, scatter_first,
-                nsteps=nsteps)
-            n_alive = int(alive_tot)
-            mx_alive = int(alive_max)
+
+        if step == 0:
+            with profiler.region('sharded.chunk[n=%d]' % len(current)):
+                current, alive_tot, alive_max = steps(
+                    current, geometry, key, step, scatter_first,
+                    nsteps=nsteps)
+                n_alive = int(alive_tot)
+                mx_alive = int(alive_max)
+        else:
+            few = n_alive <= max(len(current) // 16, MIN_BATCH // 4)
+            if few:
+                nsteps = max_steps - step
+            bucket = _next_pow2(mx_alive)
+            if compact and bucket * nsh < len(current):
+                # one fused launch: write-back + per-shard compaction +
+                # next chunk (see _fused_program)
+                prog = fused_d if final_owned else fused
+                with profiler.region('sharded.chunk[n=%d]'
+                                     % (bucket * nsh)):
+                    (final, current, orig_idx, alive_tot,
+                     alive_max) = prog(final, current, orig_idx,
+                                       geometry, key, step,
+                                       scatter_first, nsteps=nsteps,
+                                       bucket=bucket)
+                    final_owned = True
+                    n_alive = int(alive_tot)
+                    mx_alive = int(alive_max)
+            else:
+                with profiler.region('sharded.chunk[n=%d]'
+                                     % len(current)):
+                    current, alive_tot, alive_max = steps(
+                        current, geometry, key, step, scatter_first,
+                        nsteps=nsteps)
+                    n_alive = int(alive_tot)
+                    mx_alive = int(alive_max)
+
         step += nsteps
-
-        def write_back(final, final_owned):
-            wb = writeback_d if final_owned else writeback
-            return wb(final, orig_idx, current), True
-
-        if n_alive == 0 or step >= max_steps:
-            final, final_owned = write_back(final, final_owned)
+        if n_alive == 0:
             break
 
-        few = n_alive <= max(len(current) // 16, MIN_BATCH // 4)
-
-        bucket = _next_pow2(mx_alive)
-        if compact and bucket * nsh < len(current):
-            final, final_owned = write_back(final, final_owned)
-            current, orig_idx = compactor(current, orig_idx,
-                                          bucket=bucket)
-
-        if few and step < max_steps:
-            current, _, _ = steps(current, geometry, key, step,
-                                  scatter_first, nsteps=max_steps - step)
-            final, final_owned = write_back(final, final_owned)
-            break
-
-    return final
+    wb = writeback_d if final_owned else writeback
+    return wb(final, orig_idx, current)
 
 
 def propagate_and_daq_sharded(photons, geometry, key, max_steps=100,

@@ -51,9 +51,11 @@ class Simulation(object):
             from chroma_tpu.parallel import photon_mesh
             mesh = photon_mesh(n_devices)
         self.mesh = mesh
-        if getattr(detector, 'bvh', None) is None or \
-                not hasattr(detector, 'mesh'):
-            detector = create_geometry_from_obj(detector)
+        gpu_geometry = compat_kwargs.pop('gpu_geometry', None)
+        if gpu_geometry is None:
+            if getattr(detector, 'bvh', None) is None or \
+                    not hasattr(detector, 'mesh'):
+                detector = create_geometry_from_obj(detector)
         self.detector = detector
         self.photon_tracking = photon_tracking
         # steps per launch between compaction checks; 'auto' starts small
@@ -67,8 +69,12 @@ class Simulation(object):
         from chroma_tpu.ops.sample import make_key
         self._key = make_key(self.seed)
 
-        self.gpu_geometry = build_geometry_arrays(detector, wavelengths,
-                                                  times)
+        # gpu_geometry: pass prebuilt GeometryArrays (e.g. from the
+        # geocache) and skip both the host flatten and the device build;
+        # every hot path, including hit extraction, is device-resident
+        # and never touches the host detector
+        self.gpu_geometry = gpu_geometry if gpu_geometry is not None \
+            else build_geometry_arrays(detector, wavelengths, times)
 
         self.pdf_config = None
         self._pdf = None
@@ -192,35 +198,29 @@ class Simulation(object):
             logger.info('batch of %d photons took %.2f s'
                         % (nbatch, time.perf_counter() - t_start))
 
-        # hit extraction runs ON DEVICE: the channel map resolves from the
-        # propagated state, detected lanes are front-packed, and only that
-        # minority is transferred (reference count->alloc->copy kernels,
+        # hit extraction runs ON DEVICE and fully jitted (one pack + one
+        # gather launch): the channel map resolves from the propagated
+        # state, detected lanes are front-packed, and only that minority
+        # is transferred (reference count->alloc->copy kernels,
         # gpu/photon.py:141-209). The full-batch readback (~0.8 s per 1M
         # photons through the remote tunnel) happens only when the caller
         # asked for every end-state.
-        import jax.numpy as jnp
         want_hits = self.has_channels and (keep_hits or keep_flat_hits)
-        channel_dev = daq_ops.photon_channels_device(
-            result, self.gpu_geometry) if want_hits else None
 
         photons_end = None
         if keep_photons_end or self.photon_tracking:
             with profiler.region('sim.readback'):
                 photons_end = photon_state_to_host(result)
-                if channel_dev is not None:
+                if want_hits:
+                    channel_dev, _, _ = daq_ops.flat_hit_pack(
+                        result, self.gpu_geometry)
                     photons_end.channel = np.maximum(
                         np.asarray(channel_dev), 0).astype(np.uint32)
 
         if want_hits:
             with profiler.region('sim.hit_extraction'):
-                detected_dev = channel_dev >= 0
-                nhit = int(jnp.sum(detected_dev))
-                order = jnp.argsort(jnp.where(detected_dev, 0, 1),
-                                    stable=True)[:nhit]
-                sub = jax.tree_util.tree_map(lambda a: a[order], result)
-                batch_hits = photon_state_to_host(
-                    sub, channel=np.asarray(
-                        channel_dev[order]).astype(np.uint32))
+                batch_hits = daq_ops.extract_flat_hits(
+                    result, self.gpu_geometry)
 
         for i, ev in enumerate(batch_events):
             start, end = batch_bounds[i], batch_bounds[i + 1]
@@ -237,8 +237,16 @@ class Simulation(object):
             if self.has_channels and (keep_hits or keep_flat_hits):
                 ev_hits = batch_hits[batch_hits.evidx == i]
                 if keep_hits:
-                    ev.hits = {int(ch): ev_hits[ev_hits.channel == ch]
-                               for ch in np.unique(ev_hits.channel)}
+                    # sort-and-split instead of one boolean scan per
+                    # channel (O(C*N) -> O(N log N); measured ~1 s/event
+                    # at 630 channels x 33k hits the old way)
+                    order = np.argsort(ev_hits.channel, kind='stable')
+                    sh = ev_hits[order]
+                    chans, starts = np.unique(sh.channel,
+                                              return_index=True)
+                    bounds = np.r_[starts, len(sh.channel)]
+                    ev.hits = {int(c): sh[bounds[j]:bounds[j + 1]]
+                               for j, c in enumerate(chans)}
                 if keep_flat_hits:
                     ev.flat_hits = ev_hits
 

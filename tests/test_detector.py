@@ -33,6 +33,7 @@ def _one_photon(t0=100.0):
                    t=np.full(1, t0, np.float32))
 
 
+@pytest.mark.slow
 def test_time_and_charge_distributions(sim):
     """Hit-time std and charge mean/std must match the configured PMT
     distributions (single-photoelectron events)."""

@@ -46,6 +46,7 @@ def _device_bomb(n, seed):
         cur_mat=jnp.full(n, -1, jnp.int32))
 
 
+@pytest.mark.slow
 def test_simulate_accepts_device_states(sim):
     states = [_device_bomb(512, s) for s in (1, 2)]
     evs = list(sim.simulate(iter(states), run_daq=True,
@@ -69,6 +70,7 @@ def test_gpu_photons_device_input_and_ncopies(sim):
                           np.asarray(gp.state.dir[256:512]))
 
 
+@pytest.mark.slow
 def test_flat_hits_device_path_matches_host(sim):
     st = _device_bomb(2048, 5)
     gg = gpu.GPUDetector(sim.detector)

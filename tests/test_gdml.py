@@ -146,6 +146,7 @@ def test_csg_boolean_volumes():
     # are geometrically closed and consistently wound.
 
 
+@pytest.mark.slow
 def test_csg_sphere_subtract():
     "Curved-surface boolean: box minus centered ball."
     from chroma_tpu.csg import mesh_subtract, mesh_volume

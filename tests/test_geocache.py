@@ -52,6 +52,7 @@ def test_lean_normals_match_dense(tiny_arrays):
     assert (err > 1e-1).sum() <= 0.001 * ntri
 
 
+@pytest.mark.slow
 def test_geocache_roundtrip(tiny_arrays, tmp_path):
     from chroma_tpu.io.geocache import (save_geometry_arrays,
                                         load_geometry_arrays)
@@ -102,6 +103,7 @@ def test_geocache_roundtrip(tiny_arrays, tmp_path):
                                   np.asarray(r2.last_hit_triangle))
 
 
+@pytest.mark.slow
 def test_lean_mode_drops_world_arrays(tiny_arrays):
     geo, _ = tiny_arrays
     ga = build_geometry_arrays(geo, lean=True)

@@ -27,6 +27,7 @@ def detector():
     return create_geometry_from_obj(det, update_bvh_cache=False)
 
 
+@pytest.mark.slow
 def test_reference_style_simulation_loop(detector):
     "The reference's manual GPU-layer idiom ports with an import change."
     np.random.seed(3)

@@ -14,6 +14,7 @@ from chroma_tpu.transform import make_rotation_matrix
 from chroma_tpu.ops.types import build_geometry_arrays
 from chroma_tpu.ops.mesh_wide import intersect_mesh_wide
 from chroma_tpu.bvh.wide import InstancedBVH, WideBVH
+import pytest
 
 
 def _pmt_array_geometry(n=6):
@@ -88,6 +89,7 @@ def test_non_rigid_placement_is_baked():
     assert (np.asarray(t_i) == np.asarray(t_m)).all()
 
 
+@pytest.mark.slow
 def test_staged_compaction_equivalence():
     "Multi-stage tail compaction returns identical hits (N > threshold)."
     geo = _pmt_array_geometry()

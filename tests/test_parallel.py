@@ -51,6 +51,7 @@ def test_mesh_has_8_devices():
     assert mesh.devices.size == 8
 
 
+@pytest.mark.slow
 def test_propagate_sharded_terminates(detector_arrays):
     np.random.seed(1)
     photons = _photon_batch(1024)
@@ -85,6 +86,7 @@ def test_daq_reduction_matches_single_device(detector_arrays):
     assert np.asarray(local.histories)[0] & np.uint32(event.SURFACE_DETECT)
 
 
+@pytest.mark.slow
 def test_sharded_driver_compaction_and_repro(detector_arrays):
     """The chunked sharded driver (per-shard bucket compaction) must be
     exactly reproducible call-to-call and terminate every photon."""
@@ -123,6 +125,7 @@ def test_sharded_programs_compile_once(detector_arrays):
     assert run._cache_size() == size
 
 
+@pytest.mark.slow
 def test_sharded_simulation_matches_single_device():
     """Simulation(mesh=...) end-to-end: same detector, same photons —
     sharded and single-device runs agree in distribution."""

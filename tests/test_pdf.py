@@ -36,6 +36,7 @@ def _events(n, nphotons=500):
                                                   (0, 0, 0)))
 
 
+@pytest.mark.slow
 def test_create_pdf(sim):
     np.random.seed(0)
     hitcount, pdf = sim.create_pdf(_events(4, nphotons=50), 32,
@@ -47,6 +48,7 @@ def test_create_pdf(sim):
     assert hitcount[0] > 0
 
 
+@pytest.mark.slow
 def test_eval_pdf_and_likelihood(sim):
     np.random.seed(1)
     # make an observed event

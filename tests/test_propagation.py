@@ -6,6 +6,7 @@ from chroma_tpu.geometry import Geometry, Solid, vacuum
 from chroma_tpu.loader import create_geometry_from_obj
 from chroma_tpu.make import box
 from chroma_tpu.sim import Simulation
+import pytest
 
 
 def _axis_photons(nphotons=2000):
@@ -22,6 +23,7 @@ def _axis_photons(nphotons=2000):
                          wavelengths=wavelengths)
 
 
+@pytest.mark.slow
 def test_abort():
     """Photons hitting triangles at exactly normal incidence must not
     produce NaNs or NAN_ABORT flags."""

@@ -41,6 +41,7 @@ def _bomb(n, seed):
     return photon_state_from_host(ph)
 
 
+@pytest.mark.slow
 def test_pruned_histories_bitwise_equal(geometry):
     n = 4096
     key = jax.random.key(11)

@@ -8,6 +8,7 @@ from chroma_tpu.ops.types import build_geometry_arrays
 from chroma_tpu.ops.render import render, distances
 from chroma_tpu.camera import snapshot
 from chroma_tpu.tools import from_film
+import pytest
 
 
 def _cube_geo(color=0x80FF0000):  # semi-transparent red
@@ -44,6 +45,7 @@ def test_distances():
     assert abs(np.nanmin(np.where(np.isfinite(d), d, np.nan)) - 9.0) < 0.1
 
 
+@pytest.mark.slow
 def test_snapshot():
     geo = _cube_geo()
     img = snapshot(geo, size=(64, 48))

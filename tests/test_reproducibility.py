@@ -11,8 +11,10 @@ from chroma_tpu.make import box
 from chroma_tpu.ops.types import build_geometry_arrays
 from chroma_tpu.ops.propagate import propagate, photon_state_from_host
 from chroma_tpu.generator import photon_bomb
+import pytest
 
 
+@pytest.mark.slow
 def test_chunking_invariance():
     water = Material('water')
     water.set('refractive_index', 1.33)

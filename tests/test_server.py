@@ -27,6 +27,7 @@ def detector():
     return create_geometry_from_obj(geo, update_bvh_cache=False)
 
 
+@pytest.mark.slow
 def test_photon_server_round_trip(detector):
     from chroma_tpu.server import PhotonServer, PhotonClient
 

@@ -9,8 +9,10 @@ from chroma_tpu.make import box
 from chroma_tpu.sim import Simulation
 from chroma_tpu.generator import photon_bomb
 from chroma_tpu import event
+import pytest
 
 
+@pytest.mark.slow
 def test_multi_event_batch_routing():
     water = Material('w')
     water.set('refractive_index', 1.33)

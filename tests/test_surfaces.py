@@ -33,6 +33,7 @@ def _box_sim(surface, seed=0, dims=(1000, 1000, 1000)):
     return Simulation(geo, seed=seed)
 
 
+@pytest.mark.slow
 def test_wls_reemission_spectrum():
     """WLS surface: absorbed 350nm photons reemit with the configured
     spectrum (a gaussian at 500nm) isotropically."""
@@ -93,6 +94,7 @@ def test_dichroic_wavelength_split():
             assert transmitted.mean() > 0.99
 
 
+@pytest.mark.slow
 def test_angular_surface():
     """Angular surface: transmission probability depends on incidence
     angle (here: transmit at normal incidence, absorb at grazing)."""

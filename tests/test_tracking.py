@@ -7,8 +7,10 @@ from chroma_tpu.loader import create_geometry_from_obj
 from chroma_tpu.make import box
 from chroma_tpu.sim import Simulation
 from chroma_tpu.generator import photon_bomb
+import pytest
 
 
+@pytest.mark.slow
 def test_photon_tracks():
     water = Material('w')
     water.set('refractive_index', 1.33)

@@ -51,6 +51,7 @@ def test_draw_tracks_marks_pixels(geometry):
     assert (out > 0).any()
 
 
+@pytest.mark.slow
 def test_bvh_layer_geometry(geometry):
     from chroma_tpu.make import box as _box
     layer_geo = bvh_layer_geometry(geometry, 1)
@@ -65,6 +66,7 @@ def test_bvh_layer_geometry(geometry):
     assert img.shape == (32, 48, 3)
 
 
+@pytest.mark.slow
 def test_anaglyph_differs_between_channels(geometry):
     img = snapshot_anaglyph(geometry, size=(48, 32))
     assert img.shape == (32, 48, 3)

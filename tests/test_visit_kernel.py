@@ -39,6 +39,7 @@ def _rays(n, seed):
     return origin, d
 
 
+@pytest.mark.slow
 def test_pallas_visit_matches_jnp(wide, monkeypatch):
     from chroma_tpu.ops import mesh_wide, visit_kernel
     n = 2048

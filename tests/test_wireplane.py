@@ -104,6 +104,7 @@ def test_outside_extent_misses(geometry):
     assert not bool(hit.hit[0])
 
 
+@pytest.mark.slow
 def test_propagation_absorbs_on_wires(geometry):
     "Photons aimed at wires terminate at the wire surface."
     import jax

@@ -40,19 +40,27 @@ def intersect_triangle(origin, direction, v0, v1, v2):
     return hit, t
 
 
-def intersect_box(neg_origin_inv_dir, inv_dir, lower, upper):
+def intersect_box(origin, neg_origin_inv_dir, inv_dir, lower, upper):
     """Slab ray/AABB test with precomputed -origin/dir and 1/dir
     (reference: chroma/cuda/intersect.h:112-157).
 
     Returns (hit (...,) bool, distance (...,) f32 = entry distance, 0 if
-    the origin is inside the box). Axes with zero direction component are
-    skipped, as in the reference.
+    the origin is inside the box). Axes with a zero direction component
+    (inv_dir = +-inf; the fma form would produce NaN there) degrade to an
+    exact containment test: the box hits on that axis iff the origin
+    coordinate lies inside the slab — the same answer IEEE arithmetic
+    gives the reference's (lower - origin) / dir form. Treating such axes
+    as always-hit instead makes an exactly axis-aligned ray visit every
+    node its 1-D slab overlaps (~half a detector-scale tree).
     """
     finite = jnp.isfinite(inv_dir)
+    contained = (origin >= lower) & (origin <= upper)
     t0 = lower * inv_dir + neg_origin_inv_dir
     t1 = upper * inv_dir + neg_origin_inv_dir
-    tsmall = jnp.where(finite, jnp.minimum(t0, t1), -jnp.inf)
-    tbig = jnp.where(finite, jnp.maximum(t0, t1), jnp.inf)
+    tsmall = jnp.where(finite, jnp.minimum(t0, t1),
+                       jnp.where(contained, -jnp.inf, jnp.inf))
+    tbig = jnp.where(finite, jnp.maximum(t0, t1),
+                     jnp.where(contained, jnp.inf, -jnp.inf))
 
     tmin = jnp.maximum(jnp.max(tsmall, axis=-1), 0.0)
     tmax = jnp.min(tbig, axis=-1)

@@ -64,8 +64,8 @@ def intersect_mesh(origin, direction, geometry, last_hit_triangle=None,
         node = geometry.nodes[safe]  # (N,4) gather
         lower, upper = decode_bounds(node[:, :3], geometry.world_origin,
                                      geometry.world_scale)
-        box_hit, box_d = intersect_box(neg_origin_inv_dir, inv_dir,
-                                       lower, upper)
+        box_hit, box_d = intersect_box(origin, neg_origin_inv_dir,
+                                       inv_dir, lower, upper)
         # nearest-hit pruning (reference: mesh.h:16-38)
         hit = box_hit & (box_d <= best_d) & active
 

@@ -89,7 +89,7 @@ def _child_sweep(gT, f, ray_cols, best_d, active):
     lax.fori_loop — a static unroll of F copies of this body inside the
     traversal while_loop was more than the TPU compiler could digest.
     Returns (hit bitmask (N,) u32, nearest hit child (N,) i32)."""
-    (ix, iy, iz), (nx, ny, nz), (fx, fy, fz) = ray_cols
+    (ox, oy, oz), (ix, iy, iz), (nx, ny, nz), (fx, fy, fz) = ray_cols
     neg_inf = jnp.float32(-jnp.inf)
     pos_inf = jnp.float32(jnp.inf)
 
@@ -106,14 +106,28 @@ def _child_sweep(gT, f, ray_cols, best_d, active):
         t1y = hiy * iy + ny
         t0z = loz * iz + nz
         t1z = hiz * iz + nz
-        # axes with an infinite inv_dir contribute (-inf, +inf), exactly
-        # as the reference slab test
-        smx = jnp.where(fx, jnp.minimum(t0x, t1x), neg_inf)
-        bgx = jnp.where(fx, jnp.maximum(t0x, t1x), pos_inf)
-        smy = jnp.where(fy, jnp.minimum(t0y, t1y), neg_inf)
-        bgy = jnp.where(fy, jnp.maximum(t0y, t1y), pos_inf)
-        smz = jnp.where(fz, jnp.minimum(t0z, t1z), neg_inf)
-        bgz = jnp.where(fz, jnp.maximum(t0z, t1z), pos_inf)
+        # axes with a zero direction component (infinite inv_dir, NaN
+        # from the fma form) degrade to an exact containment test —
+        # matching IEEE evaluation of the reference's (lo - o)/d form.
+        # Treating them as always-hit makes an exactly axis-aligned ray
+        # (p ~ 1e-6/photon from the sphere sampler) sweep every node its
+        # 1-D slab overlaps — at detector scale, a ~100k-visit traversal
+        # that blows through the device watchdog.
+        cx = (ox >= lox) & (ox <= hix)
+        cy = (oy >= loy) & (oy <= hiy)
+        cz = (oz >= loz) & (oz <= hiz)
+        smx = jnp.where(fx, jnp.minimum(t0x, t1x),
+                        jnp.where(cx, neg_inf, pos_inf))
+        bgx = jnp.where(fx, jnp.maximum(t0x, t1x),
+                        jnp.where(cx, pos_inf, neg_inf))
+        smy = jnp.where(fy, jnp.minimum(t0y, t1y),
+                        jnp.where(cy, neg_inf, pos_inf))
+        bgy = jnp.where(fy, jnp.maximum(t0y, t1y),
+                        jnp.where(cy, pos_inf, neg_inf))
+        smz = jnp.where(fz, jnp.minimum(t0z, t1z),
+                        jnp.where(cz, neg_inf, pos_inf))
+        bgz = jnp.where(fz, jnp.maximum(t0z, t1z),
+                        jnp.where(cz, pos_inf, neg_inf))
         tmin = jnp.maximum(jnp.maximum(smx, smy),
                            jnp.maximum(smz, 0.0))
         tmax = jnp.minimum(jnp.minimum(bgx, bgy), bgz)
@@ -259,7 +273,7 @@ def _make_body(wide, rays):
         rows = wide.rows[jnp.where(active, cur, 0)]  # the ONE gather
         gT = rows.T     # (W, N): every table column a lane-packed row
 
-        hitmask, nearest = _child_sweep(gT, f, (inv_c, neg_c, fin_c),
+        hitmask, nearest = _child_sweep(gT, f, (org_c, inv_c, neg_c, fin_c),
                                         best_d, internal)
         best_tri, best_d, *hctx = _leaf_sweep(
             gT, k, org_c, dir_c, last_hit, at_leaf,
@@ -431,7 +445,8 @@ def _make_body_inst(inst, rays):
         o_cc, d_cc = loc[0:3], loc[3:6]
         inv_cc, neg_cc, fin_cc = loc[6:9], loc[9:12], loc[12:15]
 
-        hitmask, nearest = _child_sweep(gT, f, (inv_cc, neg_cc, fin_cc),
+        hitmask, nearest = _child_sweep(gT, f,
+                                        (o_cc, inv_cc, neg_cc, fin_cc),
                                         best_d, internal)
         best_tri, best_d, *hctx = _leaf_sweep(
             gT, k, o_cc, d_cc, last_hit, at_leaf,

@@ -135,18 +135,34 @@ def _visit_kernel_inst(*refs, W, F, K, D, TAG_INTERNAL, TAG_LEAF,
     tnear = jnp.full_like(best_d, jnp.inf)
     fin_ok = [f > 0.5 for f in fin_cc]
     for c in range(F):
-        t0x = gT[c] * inv_cc[0] + neg_cc[0]
-        t1x = gT[3 * F + c] * inv_cc[0] + neg_cc[0]
-        t0y = gT[F + c] * inv_cc[1] + neg_cc[1]
-        t1y = gT[4 * F + c] * inv_cc[1] + neg_cc[1]
-        t0z = gT[2 * F + c] * inv_cc[2] + neg_cc[2]
-        t1z = gT[5 * F + c] * inv_cc[2] + neg_cc[2]
-        smx = jnp.where(fin_ok[0], jnp.minimum(t0x, t1x), neg_inf)
-        bgx = jnp.where(fin_ok[0], jnp.maximum(t0x, t1x), pos_inf)
-        smy = jnp.where(fin_ok[1], jnp.minimum(t0y, t1y), neg_inf)
-        bgy = jnp.where(fin_ok[1], jnp.maximum(t0y, t1y), pos_inf)
-        smz = jnp.where(fin_ok[2], jnp.minimum(t0z, t1z), neg_inf)
-        bgz = jnp.where(fin_ok[2], jnp.maximum(t0z, t1z), pos_inf)
+        lox, loy, loz = gT[c], gT[F + c], gT[2 * F + c]
+        hix, hiy, hiz = gT[3 * F + c], gT[4 * F + c], gT[5 * F + c]
+        t0x = lox * inv_cc[0] + neg_cc[0]
+        t1x = hix * inv_cc[0] + neg_cc[0]
+        t0y = loy * inv_cc[1] + neg_cc[1]
+        t1y = hiy * inv_cc[1] + neg_cc[1]
+        t0z = loz * inv_cc[2] + neg_cc[2]
+        t1z = hiz * inv_cc[2] + neg_cc[2]
+        # zero-direction axes (non-finite inv) fall back to an exact
+        # origin-containment test, like the IEEE evaluation of the
+        # reference's (lo - o)/d slab form; always-hit would make
+        # axis-aligned rays sweep every node overlapping their 1-D slab
+        # (see ops.mesh_wide._child_sweep)
+        ctx = (o_cc[0] >= lox) & (o_cc[0] <= hix)
+        cty = (o_cc[1] >= loy) & (o_cc[1] <= hiy)
+        ctz = (o_cc[2] >= loz) & (o_cc[2] <= hiz)
+        smx = jnp.where(fin_ok[0], jnp.minimum(t0x, t1x),
+                        jnp.where(ctx, neg_inf, pos_inf))
+        bgx = jnp.where(fin_ok[0], jnp.maximum(t0x, t1x),
+                        jnp.where(ctx, pos_inf, neg_inf))
+        smy = jnp.where(fin_ok[1], jnp.minimum(t0y, t1y),
+                        jnp.where(cty, neg_inf, pos_inf))
+        bgy = jnp.where(fin_ok[1], jnp.maximum(t0y, t1y),
+                        jnp.where(cty, pos_inf, neg_inf))
+        smz = jnp.where(fin_ok[2], jnp.minimum(t0z, t1z),
+                        jnp.where(ctz, neg_inf, pos_inf))
+        bgz = jnp.where(fin_ok[2], jnp.maximum(t0z, t1z),
+                        jnp.where(ctz, pos_inf, neg_inf))
         tmin = jnp.maximum(jnp.maximum(smx, smy), jnp.maximum(smz, 0.0))
         tmax = jnp.minimum(jnp.minimum(bgx, bgy), bgz)
         hit = (tmin <= tmax) & (tmin <= best_d) & internal

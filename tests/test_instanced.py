@@ -108,3 +108,41 @@ def test_staged_compaction_equivalence():
             os.environ.pop('CHROMA_TRAV_STAGES', None)
         else:
             os.environ['CHROMA_TRAV_STAGES'] = old
+
+
+def test_axis_aligned_rays_terminate_and_hit():
+    """Rays with exact zero direction components (1/d = +-inf) must use
+    the exact origin-containment slab test on those axes. The always-hit
+    fallback made an axis-aligned ray from the detector center visit
+    every node overlapping its 1-D slab — ~100k visits at detector scale,
+    which blew through the device watchdog (round-3 headline crash)."""
+    from chroma_tpu.ops.mesh_wide import traversal_visits
+
+    geo = _pmt_array_geometry(12)
+    ga = build_geometry_arrays(geo)
+    axes = np.array([[0., 0., 1.], [0., 0., -1.], [-0., -0., 1.],
+                     [1., 0., 0.], [0., -1., 0.], [0., 1., 0.],
+                     [0., 0., 1.], [0., 0., 1.]], np.float32)
+    o = jnp.zeros((len(axes), 3), jnp.float32)
+    d = jnp.asarray(axes)
+    visits, tri, dist = traversal_visits(o, d, ga.wide)
+    visits = np.asarray(visits)
+    tri = np.asarray(tri)
+    dist = np.asarray(dist)
+    # every ray must hit the container sphere (r=1200) from the center
+    assert (tri >= 0).all()
+    assert np.allclose(dist, 1200.0, rtol=0.05)
+    # and do so in a shallow, pruned traversal, not an exhaustive sweep
+    assert visits.max() < 120, visits
+
+    # brute-force cross-check against every triangle (exact distances)
+    from chroma_tpu.ops.intersect import intersect_triangle
+    v = np.asarray(geo.mesh.vertices)[np.asarray(geo.mesh.triangles)]
+    for i in range(len(axes)):
+        hit, t = intersect_triangle(
+            jnp.asarray(np.zeros((len(v), 3), np.float32)),
+            jnp.asarray(np.broadcast_to(axes[i], (len(v), 3)).copy()),
+            jnp.asarray(v[:, 0]), jnp.asarray(v[:, 1]),
+            jnp.asarray(v[:, 2]))
+        t = np.asarray(jnp.where(hit, t, jnp.inf))
+        assert abs(t.min() - dist[i]) < 1e-3

@@ -40,7 +40,7 @@ def test_box():
         origin = jnp.asarray([origin])
         direction = jnp.asarray([direction])
         inv = 1.0 / direction
-        hit, d = intersect_box(-origin * inv, inv, lower, upper)
+        hit, d = intersect_box(origin, -origin * inv, inv, lower, upper)
         return bool(hit[0]), float(d[0])
 
     hit, d = box([0., 0., -5.], [0., 0., 1.])
@@ -49,11 +49,15 @@ def test_box():
     assert not hit
     hit, d = box([0., 0., 0.], [0., 0., 1.])  # inside
     assert hit and d == 0.0
-    # zero direction components skip their slab (reference semantics:
-    # intersect.h checks isfinite(inv_dir)), so this offset ray is a
-    # conservative "hit" — the triangle test rejects it downstream
+    # zero direction components degrade to an exact containment test on
+    # their axis (IEEE evaluation of the reference's (lo - o)/d form):
+    # this offset ray's x never enters [-1, 1], so it must MISS — the
+    # old always-hit fallback made axis-aligned rays sweep every node
+    # overlapping their 1-D slab
     hit, d = box([5., 0., -5.], [0., 0., 1.])
-    assert hit
+    assert not hit
+    hit, d = box([-0., 0., -5.], [-0., -0., 1.])  # negative zeros
+    assert hit and abs(d - 4.0) < 1e-6
     # a diagonal ray misses the offset box outright
     hit, _ = box([5., 0., -5.], [0.001, 0.001, 1.])
     assert not hit

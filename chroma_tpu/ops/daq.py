@@ -150,9 +150,11 @@ def channels_to_host(channel_arrays, evidx=None):
     import numpy as np
     from chroma_tpu import event
 
-    t = np.asarray(channel_arrays.earliest_time)
-    q = np.asarray(channel_arrays.charge)
-    flags = np.asarray(channel_arrays.histories)
+    # one batched transfer (async copies start for all three fields
+    # before blocking) instead of three sequential round trips
+    t, q, flags = jax.device_get((channel_arrays.earliest_time,
+                                  channel_arrays.charge,
+                                  channel_arrays.histories))
     return event.Channels(hit=t < HIT_TIME_CUT, t=t, q=q, flags=flags,
                           evidx=evidx)
 
@@ -217,8 +219,10 @@ def extract_flat_hits(state, geometry_arrays):
         m <<= 1
     m = min(m, len(state))
     sub, ch = gather_hits(state, channel, perm, m)
+    # fetch the packed state and channels in ONE batched transfer
+    sub, ch = jax.device_get((sub, ch))
     hits = photon_state_to_host(
-        sub, channel=np.maximum(np.asarray(ch), 0).astype(np.uint32))
+        sub, channel=np.maximum(ch, 0).astype(np.uint32))
     return hits[:n]
 
 

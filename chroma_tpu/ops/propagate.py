@@ -58,17 +58,23 @@ def photon_state_from_host(photons):
 
 
 def photon_state_to_host(state, channel=None):
-    "Download a PhotonState to an event.Photons batch."
+    """Download a PhotonState to an event.Photons batch.
+
+    jax.device_get starts the copies for every field asynchronously
+    before blocking, so the whole state costs ONE transfer latency —
+    field-by-field np.asarray paid ~9 round trips through the remote
+    runtime."""
+    host = jax.device_get(state)
     return event.Photons(
-        pos=np.asarray(state.pos),
-        dir=np.asarray(state.dir),
-        pol=np.asarray(state.pol),
-        wavelengths=np.asarray(state.wavelength),
-        t=np.asarray(state.t),
-        last_hit_triangles=np.asarray(state.last_hit_triangle),
-        flags=np.asarray(state.flags),
-        weights=np.asarray(state.weight),
-        evidx=np.asarray(state.evidx),
+        pos=host.pos,
+        dir=host.dir,
+        pol=host.pol,
+        wavelengths=host.wavelength,
+        t=host.t,
+        last_hit_triangles=host.last_hit_triangle,
+        flags=host.flags,
+        weights=host.weight,
+        evidx=host.evidx,
         channel=channel,
     )
 
@@ -136,13 +142,39 @@ _scatter_into = jax.jit(_scatter_tree)
 _scatter_into_donated = jax.jit(_scatter_tree, donate_argnums=0)
 
 
+COMPACT_SORT = os.environ.get('CHROMA_COMPACT_SORT', '0') != '0'
+
+
 def _compact_tree(current, orig_idx, bucket):
     """Device-side compaction: stable-partition live lanes to the front and
     keep the first `bucket` of them. Replaces the reference's queue swap
     (gpu/photon.py:277-286) without any host transfer of photon data.
     O(N) cumsums + one iota scatter — a stable argsort costs 4x more on
-    this runtime (measured 165 ms vs ~45 ms at 1M lanes)."""
+    this runtime (measured 165 ms vs ~45 ms at 1M lanes).
+
+    CHROMA_COMPACT_SORT=1 additionally orders the surviving lanes by a
+    coarse position+direction Morton key (the reference sorts rays for
+    warp coherence with tools.argsort_direction; here the win would be
+    HBM row reuse between adjacent traversal gathers)."""
     act = current.alive
+    if COMPACT_SORT:
+        d = current.dir
+        p = current.pos
+        def q(v, lo, hi, bits):
+            x = jnp.clip((v - lo) / (hi - lo), 0.0, 1.0)
+            return (x * ((1 << bits) - 1)).astype(jnp.uint32)
+        # 3x3 position bits (coarse cell) then 3x3 direction bits
+        lo = jnp.min(p, axis=0)
+        hi = jnp.max(p, axis=0) + 1e-3
+        keyv = jnp.zeros(d.shape[0], jnp.uint32)
+        for ax in range(3):
+            keyv = (keyv << jnp.uint32(3)) | q(p[:, ax], lo[ax], hi[ax], 3)
+        for ax in range(3):
+            keyv = (keyv << jnp.uint32(3)) | q(d[:, ax], -1.0, 1.0, 3)
+        keyv = jnp.where(act, keyv, jnp.uint32(0xFFFFFFFF))
+        sel = jnp.argsort(keyv)[:bucket]
+        return (jax.tree_util.tree_map(lambda a: a[sel], current),
+                orig_idx[sel])
     acti = act.astype(jnp.int32)
     n_act = jnp.sum(acti)
     fwd = jnp.cumsum(acti) - 1

@@ -163,8 +163,12 @@ class Simulation(object):
                 for i, src in enumerate(photon_sources):
                     st = src if isinstance(src, PhotonState) \
                         else photon_state_from_host(src)
-                    states.append(st.replace(
-                        evidx=jnp.full(len(st), i, jnp.uint32)))
+                    if len(photon_sources) > 1:
+                        # single-source batches skip the stamp launch:
+                        # every hit maps to event 0 regardless
+                        st = st.replace(
+                            evidx=jnp.full(len(st), i, jnp.uint32))
+                    states.append(st)
                 state = join_states(states) if len(states) > 1 \
                     else states[0]
         else:
@@ -235,7 +239,10 @@ class Simulation(object):
                 ev.photons_end = photons_end[start:end]
 
             if self.has_channels and (keep_hits or keep_flat_hits):
-                ev_hits = batch_hits[batch_hits.evidx == i]
+                # single-event batches skip both the device-side evidx
+                # stamp and the host-side selection scan
+                ev_hits = batch_hits if len(batch_events) == 1 \
+                    else batch_hits[batch_hits.evidx == i]
                 if keep_hits:
                     # sort-and-split instead of one boolean scan per
                     # channel (O(C*N) -> O(N log N); measured ~1 s/event

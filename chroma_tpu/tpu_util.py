@@ -10,6 +10,26 @@ from __future__ import annotations
 import time
 
 
+def apply_platform_env():
+    """Honor JAX_PLATFORMS / CHROMA_PLATFORM in CLI entry points.
+
+    Some environments (incl. this one) import jax eagerly from
+    sitecustomize with a preconfigured remote backend, which latches the
+    platform before the entry point runs — a user's
+    `JAX_PLATFORMS=cpu chroma-profile ...` would otherwise still target
+    (and block on) the remote device. Call this first in bin/ scripts."""
+    import os
+    plat = os.environ.get('CHROMA_PLATFORM') \
+        or os.environ.get('JAX_PLATFORMS')
+    if not plat:
+        return
+    try:
+        import jax
+        jax.config.update('jax_platforms', plat)
+    except Exception:
+        pass
+
+
 def enable_persistent_cache(path=None):
     """Point JAX at an on-disk compilation cache so repeated runs skip
     the 10-40 s/shape remote compiles (the reference pays an analogous

@@ -73,7 +73,8 @@ class PDFAccumulator(object):
         self.events_in_histogram += ndaq
 
     def get(self):
-        return np.asarray(self.hitcount), np.asarray(self.pdf)
+        import jax
+        return jax.device_get((self.hitcount, self.pdf))
 
 
 class PDFEval(object):
@@ -130,8 +131,10 @@ class PDFEval(object):
     def get(self):
         """Returns (hitcount, pdf_value, pdf_uncertainty) per channel
         (reference: gpu/pdf.py get_pdf_eval)."""
-        hitcount = np.asarray(self.hitcount)
-        bincount = np.asarray(self.bincount)
+        import jax
+        # one batched transfer for all three device accumulators
+        hitcount, bincount, nearest_dev = jax.device_get(
+            (self.hitcount, self.bincount, self.nearest_mc))
         evhit = self.event_hit
 
         pdf_value = np.zeros(len(hitcount), dtype=float)
@@ -148,7 +151,7 @@ class PDFEval(object):
 
         nearest_mc = np.full((len(hitcount), self.min_bin_content), 1e9,
                              dtype=np.float32)
-        nearest_mc[self.hit_channels, :] = np.asarray(self.nearest_mc)
+        nearest_mc[self.hit_channels, :] = nearest_dev
 
         last_valid = np.maximum(
             0, (nearest_mc < 1e9).astype(int).sum(axis=1) - 1)
@@ -201,9 +204,12 @@ class KernelPDF(object):
         """Per-channel KDE bandwidths via the localized Silverman-style
         rule used by the reference (gpu/pdf.py:61-112)."""
         rho = 1.0
-        mom0 = np.maximum(np.asarray(self.mom0), 1)
-        tmean = np.asarray(self.t_mom1) / mom0
-        tvar = np.maximum(np.asarray(self.t_mom2) / mom0 - tmean ** 2, 0.0)
+        import jax
+        mom0_d, t1, t2 = jax.device_get(
+            (self.mom0, self.t_mom1, self.t_mom2))
+        mom0 = np.maximum(mom0_d, 1)
+        tmean = t1 / mom0
+        tvar = np.maximum(t2 / mom0 - tmean ** 2, 0.0)
         trms = np.sqrt(tvar)
 
         d = 1 if self.time_only else 2

@@ -105,7 +105,7 @@ def _steps_loop(photons, geometry, key, start_step, nsteps, use_weights,
     return photons, steps_done, jnp.sum(photons.alive.astype(jnp.int32))
 
 
-@partial(jax.jit, static_argnames=('nsteps', 'use_weights', 'prune'))
+@partial(jax.jit, static_argnames=('use_weights', 'prune'))
 def run_steps(photons, geometry, key, start_step, nsteps, use_weights=False,
               scatter_first=0, prune=True):
     """Run up to `nsteps` propagation steps, exiting early when every
@@ -115,7 +115,13 @@ def run_steps(photons, geometry, key, start_step, nsteps, use_weights=False,
     reference's thread-keyed curand has the same property). Results are
     exactly reproducible for a given (seed, chunking) and
     distribution-identical across chunkings. scatter_first only applies
-    at absolute step 0 (reference: propagate.cu:319)."""
+    at absolute step 0 (reference: propagate.cu:319).
+
+    `nsteps` is a DYNAMIC operand: the while_loop bound is data-dependent
+    anyway, and keeping it out of the jit key means one compiled program
+    per batch shape instead of one per (shape, chunk length) pair — the
+    finish-remaining heuristic alone would otherwise mint a fresh
+    10-40 s remote compile for every distinct remaining-step count."""
     return _steps_loop(photons, geometry, key, start_step, nsteps,
                        use_weights, scatter_first, prune)
 
@@ -207,13 +213,15 @@ def _fused_chunk_impl(final, current, orig_idx, geometry, key, start_step,
 
 
 # first boundary targets the caller's input buffers (must copy `final`);
-# later ones target driver-owned buffers and donate them in place
+# later ones target driver-owned buffers and donate them in place.
+# `bucket` shapes the compacted slice (static); `nsteps` stays dynamic
+# (see run_steps)
 _fused_chunk = jax.jit(
     _fused_chunk_impl,
-    static_argnames=('nsteps', 'bucket', 'use_weights', 'prune'))
+    static_argnames=('bucket', 'use_weights', 'prune'))
 _fused_chunk_donated = jax.jit(
     _fused_chunk_impl,
-    static_argnames=('nsteps', 'bucket', 'use_weights', 'prune'),
+    static_argnames=('bucket', 'use_weights', 'prune'),
     donate_argnums=(0,))
 
 

@@ -66,13 +66,15 @@ def _steps_program(mesh, use_weights, prune):
     shard) — the two scalars drive the host's chunk/bucket decisions with
     a single 8-byte read."""
 
-    @partial(jax.jit, static_argnames=('nsteps',))
+    # nsteps is a DYNAMIC replicated operand: one compiled program per
+    # batch shape, not per (shape, chunk length) (see ops.propagate)
+    @jax.jit
     def run(ph, geom, key, start_step, scatter_first, nsteps):
 
         @partial(jax.shard_map, mesh=mesh,
-                 in_specs=(P(AXIS), P(), P(), P(), P()),
+                 in_specs=(P(AXIS), P(), P(), P(), P(), P()),
                  out_specs=(P(AXIS), P(), P()))
-        def _run(ph, geom, key, start_step, scatter_first):
+        def _run(ph, geom, key, start_step, scatter_first, nsteps):
             key = _shard_key(key)
 
             def cond(carry):
@@ -96,7 +98,8 @@ def _steps_program(mesh, use_weights, prune):
 
         return _run(ph, geom, key,
                     jnp.asarray(start_step, jnp.int32),
-                    jnp.asarray(scatter_first, jnp.int32))
+                    jnp.asarray(scatter_first, jnp.int32),
+                    jnp.asarray(nsteps, jnp.int32))
 
     return run
 
@@ -113,9 +116,10 @@ def _fused_program(mesh, use_weights, prune, donate):
 
         @partial(jax.shard_map, mesh=mesh,
                  in_specs=(P(AXIS), P(AXIS), P(AXIS), P(), P(), P(),
-                           P()),
+                           P(), P()),
                  out_specs=(P(AXIS), P(AXIS), P(AXIS), P(), P()))
-        def _run(f, cur, oi, geom, key, start_step, scatter_first):
+        def _run(f, cur, oi, geom, key, start_step, scatter_first,
+                 nsteps):
             f = jax.tree_util.tree_map(
                 lambda ff, cc: ff.at[oi].set(cc), f, cur)
 
@@ -154,9 +158,11 @@ def _fused_program(mesh, use_weights, prune, donate):
 
         return _run(final, current, orig_idx, geom, key,
                     jnp.asarray(start_step, jnp.int32),
-                    jnp.asarray(scatter_first, jnp.int32))
+                    jnp.asarray(scatter_first, jnp.int32),
+                    jnp.asarray(nsteps, jnp.int32))
 
-    return jax.jit(run, static_argnames=('nsteps', 'bucket'),
+    # nsteps stays dynamic (one program per bucket, not per chunk length)
+    return jax.jit(run, static_argnames=('bucket',),
                    donate_argnums=(0,) if donate else ())
 
 

@@ -80,6 +80,18 @@ def _ctz32(m):
         jax.lax.population_count(low - jnp.uint32(1)).astype(jnp.int32))
 
 
+def _ctz32_i32(m):
+    """int32 variant (32 for m == 0). Two's-complement wrap keeps bit 31
+    usable for fanout-32 masks: for m = INT_MIN, -m wraps back to INT_MIN
+    and low - 1 to INT_MAX (popcount 31). The instanced state carries
+    masks as i32 so they cross the Pallas kernel boundary with no
+    bitcast buffer copies."""
+    low = m & (-m)
+    return jnp.where(
+        m == 0, 32,
+        jax.lax.population_count(low - 1).astype(jnp.int32))
+
+
 def _child_sweep(gT, f, ray_cols, best_d, active):
     """Slab test of all F children of a fetched node row, in column form:
     every operand is a fully lane-packed (N,) vector (the (N, 3, F)
@@ -248,7 +260,7 @@ def _top_pending(masks, depth, depth_max):
     "Highest stack slot below `depth` with a pending sibling mask (-1: none)."
     top = jnp.full(masks.shape[1], -1, jnp.int32)
     for d in range(depth_max):
-        top = jnp.where((masks[d] != jnp.uint32(0)) & (d < depth), d, top)
+        top = jnp.where((masks[d] != 0) & (d < depth), d, top)
     return top
 
 
@@ -420,7 +432,10 @@ def _make_body_inst(inst, rays):
     width = inst.rows.shape[1]
     org_c, dir_c, inv_c, neg_c, fin_c = _ray_cols(origin, direction,
                                                   inv_dir, neg_org, finite)
-    world_loc = org_c + dir_c + inv_c + neg_c + fin_c
+    # finite flags travel as f32 0/1 in the instanced state so they cross
+    # the Pallas boundary without per-visit bool<->f32 cast buffers
+    world_loc = org_c + dir_c + inv_c + neg_c \
+        + tuple(fc.astype(jnp.float32) for fc in fin_c)
 
     from chroma_tpu.ops import visit_kernel
     # int32 bitmask arithmetic in the kernel wraps two's-complement, so
@@ -432,7 +447,8 @@ def _make_body_inst(inst, rays):
         (cur, depth, bases, masks, best_tri, best_d, loc, d_inst,
          tbase, iid, hctx) = state
         # loc: the local-frame ray registers as 15 lane-packed (N,)
-        # vectors (ox,oy,oz, dx,dy,dz, ix,iy,iz, nx,ny,nz, fx,fy,fz)
+        # vectors (ox,oy,oz, dx,dy,dz, ix,iy,iz, nx,ny,nz, fx,fy,fz —
+        # the last three f32 0/1)
         active = cur >= 0
 
         rows = inst.rows[jnp.where(active, cur, 0)]  # the ONE gather
@@ -443,11 +459,13 @@ def _make_body_inst(inst, rays):
         is_inst = active & (tag == TAG_INSTANCE)
 
         o_cc, d_cc = loc[0:3], loc[3:6]
-        inv_cc, neg_cc, fin_cc = loc[6:9], loc[9:12], loc[12:15]
+        inv_cc, neg_cc = loc[6:9], loc[9:12]
+        fin_cc = tuple(fc > 0.5 for fc in loc[12:15])
 
         hitmask, nearest = _child_sweep(gT, f,
                                         (o_cc, inv_cc, neg_cc, fin_cc),
                                         best_d, internal)
+        hitmask = jax.lax.bitcast_convert_type(hitmask, jnp.int32)
         best_tri, best_d, *hctx = _leaf_sweep(
             gT, k, o_cc, d_cc, last_hit, at_leaf,
             (best_tri, best_d) + tuple(hctx), tri_base=tbase, iid=iid)
@@ -468,7 +486,8 @@ def _make_body_inst(inst, rays):
                 gT[6] * dir_c[0] + gT[7] * dir_c[1] + gT[8] * dir_c[2])
         inv_li = tuple(1.0 / d for d in d_li)
         neg_li = tuple(-o * i for o, i in zip(o_li, inv_li))
-        fin_li = tuple(jnp.isfinite(i) for i in inv_li)
+        fin_li = tuple(jnp.isfinite(i).astype(jnp.float32)
+                       for i in inv_li)
         entered = o_li + d_li + inv_li + neg_li + fin_li
         loc = tuple(jnp.where(is_inst, e, l)
                     for e, l in zip(entered, loc))
@@ -482,12 +501,13 @@ def _make_body_inst(inst, rays):
         blas_root = jax.lax.bitcast_convert_type(gT[12], jnp.int32)
 
         # descend: internal -> nearest hit child; instance -> BLAS root
+        # (masks are i32 with two's-complement wrap, matching the Pallas
+        # kernel's state layout — no bitcast at the kernel boundary)
         desc_int = internal & (hitmask != 0)
         will = desc_int | is_inst
-        rest = jnp.where(
-            desc_int,
-            hitmask & ~(jnp.uint32(1) << nearest.astype(jnp.uint32)),
-            jnp.uint32(0))
+        rest = jnp.where(desc_int,
+                         hitmask & ~(jnp.int32(1) << nearest),
+                         jnp.int32(0))
         bases = _stack_set(bases, depth,
                            jnp.where(is_inst, blas_root, first_child),
                            will, depth_max)
@@ -501,10 +521,9 @@ def _make_body_inst(inst, rays):
         top = _top_pending(masks, depth, depth_max)
         found = need & (top >= 0)
         pm = _stack_get(masks, top, depth_max)
-        masks = _stack_set(masks, top, pm & (pm - jnp.uint32(1)), found,
-                           depth_max)
+        masks = _stack_set(masks, top, pm & (pm - 1), found, depth_max)
         cur = jnp.where(found, _stack_get(bases, top, depth_max)
-                        + _ctz32(pm),
+                        + _ctz32_i32(pm),
                         jnp.where(need & (top < 0), -1, cur))
         depth = jnp.where(found, top + 1, depth)
 
@@ -544,21 +563,23 @@ def _make_body_inst_pallas(inst, rays, world_loc):
     from chroma_tpu.ops.visit_kernel import interpret_mode
     interp = interpret_mode()
 
-    rays_pack = jnp.stack([c.astype(jnp.float32)
-                           for c in world_loc]).reshape(15, nb, 128)
+    rays_pack = jnp.stack(world_loc).reshape(15, nb, 128)
     last_t = last_hit.reshape(nb, 128)
 
     def r2(a):
         return a.reshape(nb, 128)
 
     def body(state):
+        # state layout matches the kernel exactly (i32 masks, f32 0/1
+        # finite flags), so every per-visit conversion below is a FREE
+        # row-major reshape — no cast materializes a buffer
         (cur, depth, bases, masks, best_tri, best_d, loc, d_inst,
          tbase, iid, hctx) = state
         active = cur >= 0
         rows = inst.rows[jnp.where(active, cur, 0)]  # the ONE gather
         rows_t = rows.reshape(nb, 128, width)        # free reshape
 
-        loc_t = tuple(r2(l.astype(jnp.float32)) for l in loc)
+        loc_t = tuple(r2(l) for l in loc)
         hctx_t = (r2(hctx[0]), r2(hctx[1]), r2(hctx[2]), r2(hctx[3]),
                   r2(hctx[4]))
         (cur, depth, best_tri, d_inst, tbase, iid_t, bases_t, masks_t,
@@ -566,18 +587,15 @@ def _make_body_inst_pallas(inst, rays, world_loc):
             rows_t, r2(cur), r2(depth), r2(best_tri), r2(d_inst),
             r2(tbase), r2(iid),
             bases.reshape(depth_max, nb, 128),
-            jax.lax.bitcast_convert_type(
-                masks, jnp.int32).reshape(depth_max, nb, 128),
+            masks.reshape(depth_max, nb, 128),
             r2(best_d), hctx_t, loc_t, rays_pack, last_t,
             width, f, k, depth_max, tags, interpret=interp)
 
-        loc_out = tuple(loc_t[i].reshape(n) for i in range(12)) \
-            + tuple(loc_t[i].reshape(n) > 0.5 for i in range(12, 15))
+        loc_out = tuple(loc_t[i].reshape(n) for i in range(15))
         hctx_out = tuple(h.reshape(n) for h in hctx_t)
         return (cur.reshape(n), depth.reshape(n),
                 bases_t.reshape(depth_max, n),
-                jax.lax.bitcast_convert_type(
-                    masks_t, jnp.uint32).reshape(depth_max, n),
+                masks_t.reshape(depth_max, n),
                 best_tri.reshape(n), bd_t.reshape(n), loc_out,
                 d_inst.reshape(n), tbase.reshape(n), iid_t.reshape(n),
                 hctx_out)
@@ -610,8 +628,8 @@ def intersect_mesh_instanced(origin, direction, inst,
     cur0 = izero
     depth0 = izero
     bases0 = jnp.zeros((depth_max, n), dtype=jnp.int32) + izero[None, :]
-    masks0 = jnp.zeros((depth_max, n), dtype=jnp.uint32) \
-        + izero[None, :].astype(jnp.uint32)
+    # masks carried i32 (kernel state layout; see _ctz32_i32)
+    masks0 = jnp.zeros((depth_max, n), dtype=jnp.int32) + izero[None, :]
     best_tri0 = izero - 1
     best_d0 = fzero + jnp.inf
     if best_limit is not None:
@@ -619,7 +637,10 @@ def intersect_mesh_instanced(origin, direction, inst,
     if mask is not None:
         cur0 = jnp.where(mask, cur0, -1)
 
-    loc0 = sum(_ray_cols(origin, direction, inv_dir, neg_org, finite), ())
+    cols = _ray_cols(origin, direction, inv_dir, neg_org, finite)
+    # finite flags as f32 0/1 (kernel state layout)
+    loc0 = cols[0] + cols[1] + cols[2] + cols[3] \
+        + tuple(fc.astype(jnp.float32) for fc in cols[4])
     hctx0 = (izero, fzero, fzero, fzero, izero)   # code, normal, iid
     state = (cur0, depth0, bases0, masks0, best_tri0, best_d0,
              loc0, izero + IBIG, izero, izero, hctx0)
@@ -659,17 +680,21 @@ def traversal_visits(origin, direction, wide, last_hit_triangle=None,
     depth_max = wide.max_depth
     cur0 = izero if mask is None else jnp.where(mask, izero, -1)
     bases0 = jnp.zeros((depth_max, n), dtype=jnp.int32)
-    masks0 = jnp.zeros((depth_max, n), dtype=jnp.uint32)
     best_d0 = fzero + jnp.inf if best_limit is None else best_limit
-    state = (cur0, izero, bases0, masks0, izero - 1, best_d0)
     if isinstance(wide, InstancedBVH):
-        loc0 = sum(_ray_cols(origin, direction, inv_dir, neg_org,
-                             finite), ())
-        state = state + (loc0, izero + IBIG, izero, izero,
-                         (izero, fzero, fzero, fzero, izero))
+        # instanced state layout: i32 masks, f32 0/1 finite flags
+        masks0 = jnp.zeros((depth_max, n), dtype=jnp.int32)
+        cols = _ray_cols(origin, direction, inv_dir, neg_org, finite)
+        loc0 = cols[0] + cols[1] + cols[2] + cols[3] \
+            + tuple(fc.astype(jnp.float32) for fc in cols[4])
+        state = (cur0, izero, bases0, masks0, izero - 1, best_d0,
+                 loc0, izero + IBIG, izero, izero,
+                 (izero, fzero, fzero, fzero, izero))
         body = _make_body_inst(wide, rays)
     else:
-        state = state + ((izero, fzero, fzero, fzero),)
+        masks0 = jnp.zeros((depth_max, n), dtype=jnp.uint32)
+        state = (cur0, izero, bases0, masks0, izero - 1, best_d0,
+                 (izero, fzero, fzero, fzero))
         body = _make_body(wide, rays)
 
     def counted_body(carry):

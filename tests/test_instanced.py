@@ -146,3 +146,31 @@ def test_axis_aligned_rays_terminate_and_hit():
             jnp.asarray(v[:, 2]))
         t = np.asarray(jnp.where(hit, t, jnp.inf))
         assert abs(t.min() - dist[i]) < 1e-3
+
+
+def test_ctz32_i32_full_word():
+    "i32 ctz must handle bit 31 (fanout-32 masks) via two's-complement."
+    from chroma_tpu.ops.mesh_wide import _ctz32_i32, _ctz32
+    vals = np.array([0, 1, 2, 3, 8, 0x80000000, 0xFFFFFFFF, 0x80000001,
+                     0x40000000], dtype=np.uint32)
+    got = np.asarray(_ctz32_i32(jnp.asarray(vals.view(np.int32))))
+    ref = np.asarray(_ctz32(jnp.asarray(vals)))
+    assert (got == ref).all(), (got, ref)
+    assert got[0] == 32 and got[5] == 31 and got[6] == 0
+
+
+def test_fanout32_traversal_matches_default():
+    "Full-word (F=32) masks traverse identically to the F=16 build."
+    from chroma_tpu.bvh.wide import build_instanced_bvh
+
+    geo = _pmt_array_geometry(5)
+    mesh = geo.mesh
+    b16 = build_instanced_bvh([(mesh, None, None, 0)], fanout=16)
+    b32 = build_instanced_bvh([(mesh, None, None, 0)], fanout=32,
+                              leaf_size=16)
+    o, d = _random_rays(3000, seed=3)
+    t16, d16 = intersect_mesh_wide(o, d, b16)
+    t32, d32 = intersect_mesh_wide(o, d, b32)
+    assert (np.asarray(t16) == np.asarray(t32)).all()
+    assert np.allclose(np.asarray(d16), np.asarray(d32), rtol=1e-5,
+                       atol=1e-3, equal_nan=True)

@@ -176,22 +176,29 @@ def run_config(quick, nphotons, reps):
         best = min(best, dt)
 
     value = nphotons / best
-    rays_per_sec = measure_rays(ga, nphotons, max(reps - 1, 1))
-    print('# BVH ray throughput: %.2f Mrays/s' % (rays_per_sec / 1e6),
-          file=sys.stderr)
-    sim_value = measure_simulation(ga, nphotons, max(reps - 1, 1))
-    print('# Simulation-level: %.0f photons/s (%.0f%% of raw propagate)'
-          % (sim_value, 100.0 * sim_value / value), file=sys.stderr)
-    return {
+    metrics = {
         'photon_propagation_throughput': round(value, 1),
         'photons_per_sec_vs_baseline': round(
             value / BASELINE_PHOTONS_PER_SEC, 4),
-        'bvh_ray_throughput_mrays': round(rays_per_sec / 1e6, 3),
-        'simulation_photons_per_sec': round(sim_value, 1),
         'detector_pmts': nch,
         'detector_triangles': ntri,
         'nphotons': nphotons,
     }
+    # the secondary metrics must never cost the headline number: a
+    # device/tunnel failure here still reports the propagate throughput
+    try:
+        rays_per_sec = measure_rays(ga, nphotons, max(reps - 1, 1))
+        print('# BVH ray throughput: %.2f Mrays/s' % (rays_per_sec / 1e6),
+              file=sys.stderr)
+        metrics['bvh_ray_throughput_mrays'] = round(rays_per_sec / 1e6, 3)
+        sim_value = measure_simulation(ga, nphotons, max(reps - 1, 1))
+        print('# Simulation-level: %.0f photons/s (%.0f%% of raw '
+              'propagate)' % (sim_value, 100.0 * sim_value / value),
+              file=sys.stderr)
+        metrics['simulation_photons_per_sec'] = round(sim_value, 1)
+    except Exception as e:
+        print('# secondary metrics failed: %s' % e, file=sys.stderr)
+    return metrics
 
 
 def measure_simulation(ga, nphotons, reps):
@@ -248,7 +255,12 @@ def main():
     _write_extra(extra)
     _emit(extra['quick'])
     if not quick_only:
-        extra['headline'] = run_config(False, nphotons, reps)
+        try:
+            extra['headline'] = run_config(False, nphotons, reps)
+        except Exception as e:
+            # a headline failure must not erase the quick result
+            print('# headline config failed: %s' % e, file=sys.stderr)
+            return
         _write_extra(extra)
         _emit(extra['headline'])
 

@@ -135,33 +135,48 @@ def _count_alive(photons):
     return jnp.sum(photons.alive.astype(jnp.int32))
 
 
-def _scatter_tree(final, orig_idx, current):
-    return jax.tree_util.tree_map(
-        lambda f, c: f.at[orig_idx].set(c), final, current)
+# All lane movement below (write-back scatters, compaction gathers)
+# moves the photon state as ONE packed (N, C) f32 matrix: per-field
+# (N,)/(N,3) gathers are latency-bound at ~14-23 ns/ROW regardless of
+# row width or index locality, so a 13-array state costs ~13x one
+# fat-row gather; the pack/unpack relayout XLA fuses for ~3 ms at 1M
+# lanes. Measured at 1M lanes (v5e): full-state permute 140-230 ms
+# per-field vs 9.6 ms packed; take-bucket+scatter boundary 251 ms vs
+# 29.5 ms.
 
 
-# the first write-back may target the caller's input buffers, so it must
-# copy; every later one targets a buffer this driver owns and aliases it
-# in place (donation avoids a full copy of the batch per chunk boundary
-# — measured 95 ms at 1M lanes through the remote runtime)
-_scatter_into = jax.jit(_scatter_tree)
-_scatter_into_donated = jax.jit(_scatter_tree, donate_argnums=0)
+def _scatter_mat(final_mat, orig_idx, current):
+    return final_mat.at[orig_idx].set(_ps_pack(current))
+
+
+_scatter_into_donated = jax.jit(_scatter_mat, donate_argnums=0)
+
+
+@jax.jit
+def _ps_pack_jit(photons):
+    return _ps_pack(photons)
+
+
+@partial(jax.jit, donate_argnums=0)
+def _scatter_unpack_donated(final_mat, orig_idx, current):
+    "Final write-back + unpack to a PhotonState, one launch."
+    return _ps_unpack(final_mat.at[orig_idx].set(_ps_pack(current)),
+                      current)
 
 
 COMPACT_SORT = os.environ.get('CHROMA_COMPACT_SORT', '0') != '0'
 
 
-def _compact_tree(current, orig_idx, bucket):
-    """Device-side compaction: stable-partition live lanes to the front and
-    keep the first `bucket` of them. Replaces the reference's queue swap
-    (gpu/photon.py:277-286) without any host transfer of photon data.
-    O(N) cumsums + one iota scatter — a stable argsort costs 4x more on
-    this runtime (measured 165 ms vs ~45 ms at 1M lanes).
+def _compact_sel(current, bucket):
+    """Lane selection for device-side compaction: stable-partition live
+    lanes to the front, keep the first `bucket`. Replaces the reference's
+    queue swap (gpu/photon.py:277-286) without any host transfer.
+    O(N) cumsums + one iota scatter (no sort).
 
-    CHROMA_COMPACT_SORT=1 additionally orders the surviving lanes by a
-    coarse position+direction Morton key (the reference sorts rays for
-    warp coherence with tools.argsort_direction; here the win would be
-    HBM row reuse between adjacent traversal gathers)."""
+    CHROMA_COMPACT_SORT=1 instead orders the surviving lanes by a coarse
+    position+direction Morton key (the reference sorts rays for warp
+    coherence with tools.argsort_direction; here the win would be HBM
+    row reuse between adjacent traversal gathers)."""
     act = current.alive
     if COMPACT_SORT:
         d = current.dir
@@ -178,51 +193,183 @@ def _compact_tree(current, orig_idx, bucket):
         for ax in range(3):
             keyv = (keyv << jnp.uint32(3)) | q(d[:, ax], -1.0, 1.0, 3)
         keyv = jnp.where(act, keyv, jnp.uint32(0xFFFFFFFF))
-        sel = jnp.argsort(keyv)[:bucket]
-        return (jax.tree_util.tree_map(lambda a: a[sel], current),
-                orig_idx[sel])
-    acti = act.astype(jnp.int32)
-    n_act = jnp.sum(acti)
-    fwd = jnp.cumsum(acti) - 1
-    bwd = n_act + jnp.cumsum(1 - acti) - 1
-    dest = jnp.where(act, fwd, bwd)
-    perm = jnp.zeros_like(dest).at[dest].set(
-        jnp.arange(dest.shape[0], dtype=dest.dtype))
-    sel = perm[:bucket]
-    return (jax.tree_util.tree_map(lambda a: a[sel], current),
-            orig_idx[sel])
+        return jnp.argsort(keyv)[:bucket]
+    _, perm = _ps_compact_perm(act)
+    return perm[:bucket]
 
 
-_compact = jax.jit(_compact_tree, static_argnames=('bucket',))
-
-
-def _fused_chunk_impl(final, current, orig_idx, geometry, key, start_step,
-                      nsteps, bucket, use_weights, scatter_first, prune):
+def _fused_chunk_impl(final_mat, current, orig_idx, geometry, key,
+                      start_step, nsteps, bucket, use_weights,
+                      scatter_first, prune):
     """One chunk boundary + next chunk as a SINGLE program: write the
-    finished batch back into `final`, compact survivors into `bucket`
-    lanes, and run the next `nsteps`. Each separate launch through the
-    remote runtime costs ~45 ms of host dispatch; fusing the three
-    per-boundary programs into one is worth ~15-20% end-to-end on a
-    1M-photon bomb."""
-    final = _scatter_tree(final, orig_idx, current)
-    current, orig_idx = _compact_tree(current, orig_idx, bucket)
+    finished batch back into the packed `final_mat`, compact survivors
+    into `bucket` lanes, and run the next `nsteps`. Each separate launch
+    through the remote runtime costs ~45 ms of host dispatch; fusing the
+    three per-boundary programs into one is worth ~15-20% end-to-end on
+    a 1M-photon bomb."""
+    cmat = _ps_pack(current)
+    final_mat = final_mat.at[orig_idx].set(cmat)
+    sel = _compact_sel(current, bucket)
+    current = _ps_unpack(cmat[sel], current)
+    orig_idx = orig_idx[sel]
     current, steps_done, alive = _steps_loop(
         current, geometry, key, start_step, nsteps, use_weights,
         scatter_first, prune)
-    return final, current, orig_idx, steps_done, alive
+    return final_mat, current, orig_idx, steps_done, alive
 
 
-# first boundary targets the caller's input buffers (must copy `final`);
-# later ones target driver-owned buffers and donate them in place.
+# `final_mat` is always driver-owned (packed upfront), so donate it.
 # `bucket` shapes the compacted slice (static); `nsteps` stays dynamic
 # (see run_steps)
-_fused_chunk = jax.jit(
-    _fused_chunk_impl,
-    static_argnames=('bucket', 'use_weights', 'prune'))
 _fused_chunk_donated = jax.jit(
     _fused_chunk_impl,
     static_argnames=('bucket', 'use_weights', 'prune'),
     donate_argnums=(0,))
+
+
+# ---------------------------------------------------------------------------
+# fully-fused bomb: the whole multi-chunk drive as ONE device program
+# ---------------------------------------------------------------------------
+#
+# The chunked driver below still pays a ~74 ms host sync per chunk
+# boundary (the 4-byte alive count that picks the next bucket size) —
+# ~6-8 of them per 1M-photon bomb, i.e. ~40% of the wall time. The fused
+# program removes every intermediate sync by baking a STATIC compaction
+# schedule ((steps, divisor) stages) into one jit: each stage runs a
+# bounded early-exiting step loop, front-packs the survivors, recurses on
+# a 1/div prefix slice, and mops up rare overflow lanes (survivors beyond
+# the slice) with a bounded loop over the suffix slice — overflow costs
+# nothing when absent because its while_loop exits immediately.
+#
+# Lane permutes move the state as ONE packed (N, C) f32 matrix: row
+# gathers cost ~8-21 ns/row nearly independent of row width, so permuting
+# 16 (N,) fields separately costs ~16x one fat-row permute.
+
+_PS_VEC = ('pos', 'dir', 'pol')          # (N,3) f32
+_PS_SCALAR = ('wavelength', 't', 'weight', 'flags', 'last_hit_triangle',
+              'evidx', 'cur_mat')        # (N,) mixed dtypes
+
+
+def _ps_pack(ps):
+    "PhotonState -> one (N, C) f32 matrix (ints bitcast, not converted)."
+    cols = []
+    for name in _PS_VEC:
+        cols.append(getattr(ps, name))
+    for name in _PS_SCALAR:
+        a = getattr(ps, name)
+        if a is None:
+            continue
+        if a.dtype != jnp.float32:
+            a = jax.lax.bitcast_convert_type(a, jnp.float32)
+        cols.append(a[:, None])
+    return jnp.concatenate(cols, axis=1)
+
+
+def _ps_unpack(mat, proto):
+    "Inverse of _ps_pack; `proto` supplies dtypes and None-ness."
+    out = {}
+    c = 0
+    for name in _PS_VEC:
+        out[name] = mat[:, c:c + 3]
+        c += 3
+    for name in _PS_SCALAR:
+        a = getattr(proto, name)
+        if a is None:
+            out[name] = None
+            continue
+        col = mat[:, c]
+        if a.dtype != jnp.float32:
+            col = jax.lax.bitcast_convert_type(col, a.dtype)
+        out[name] = col
+        c += 1
+    return PhotonState(**out)
+
+
+def _ps_take(ps, idx):
+    "Permute/slice lanes of a PhotonState via one fat-row gather."
+    return _ps_unpack(_ps_pack(ps)[idx], ps)
+
+
+def _parse_schedule(spec):
+    if not spec or spec in ('none', 'off', '0'):
+        return ()
+    return tuple(tuple(int(x) for x in part.split(':'))
+                 for part in spec.split(','))
+
+
+def _auto_schedule(n):
+    """Compaction schedule for a batch of n photons. Most photons die in
+    the first steps (measured ~60% after step 0, ~87% by step 2 on the
+    demo detector), and per-step cost stops scaling below ~32-64k lanes
+    (the while_loop iteration floor), so stages stop dividing there."""
+    spec = os.environ.get('CHROMA_FUSED_SCHEDULE')
+    if spec is not None:
+        return _parse_schedule(spec)
+    sched = []
+    width = n
+    for steps, div in ((1, 2), (2, 4), (4, 4), (8, 4)):
+        if width // div < 16384:
+            break
+        sched.append((steps, div))
+        width //= div
+    return tuple(sched)
+
+
+def _fused_bomb_impl(photons, geometry, key, schedule, max_steps,
+                     use_weights, scatter_first, prune):
+    def stage(ph, start, sched, salt):
+        n = len(ph)
+        skey = jax.random.fold_in(key, salt) if salt else key
+        if not sched or start >= max_steps:
+            ph, _, _ = _steps_loop(ph, geometry, skey, start,
+                                   max_steps - start, use_weights,
+                                   scatter_first, prune)
+            return ph
+        nsteps = min(sched[0][0], max_steps - start)
+        div = sched[0][1]
+        ph, _, _ = _steps_loop(ph, geometry, skey, start, nsteps,
+                               use_weights, scatter_first, prune)
+        start2 = start + nsteps
+        m = n // div
+        if start2 >= max_steps or m < MIN_BATCH:
+            return ph
+        dest, perm = _ps_compact_perm(ph.alive)
+        php = _ps_take(ph, perm)
+        prefix = jax.tree_util.tree_map(lambda a: a[:m], php)
+        suffix = jax.tree_util.tree_map(lambda a: a[m:], php)
+        prefix = stage(prefix, start2, sched[1:], salt)
+        # overflow lanes (survivors beyond the slice — rare by
+        # construction) finish on their own salted stream; the bounded
+        # loop exits immediately when the suffix is all dead
+        suffix, _, _ = _steps_loop(
+            suffix, geometry, jax.random.fold_in(skey, 0x5F3759DF),
+            start2, max_steps - start2, use_weights, scatter_first, prune)
+        php = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), prefix, suffix)
+        return _ps_take(php, dest)
+
+    return stage(photons, 0, tuple(schedule), 0)
+
+
+def _ps_compact_perm(active):
+    "Stable front-pack permutation (dest, perm); O(N), no sort."
+    act = active.astype(jnp.int32)
+    n_act = jnp.sum(act)
+    fwd = jnp.cumsum(act) - 1
+    bwd = n_act + jnp.cumsum(1 - act) - 1
+    dest = jnp.where(active, fwd, bwd)
+    perm = jnp.zeros_like(dest).at[dest].set(
+        jnp.arange(dest.shape[0], dtype=dest.dtype))
+    return dest, perm
+
+
+_fused_bomb = jax.jit(
+    _fused_bomb_impl,
+    static_argnames=('schedule', 'max_steps', 'use_weights',
+                     'scatter_first', 'prune'))
+
+
+USE_FUSED = os.environ.get('CHROMA_FUSED', '1') != '0'
 
 
 def propagate(photons, geometry, key, max_steps=100, use_weights=False,
@@ -234,16 +381,33 @@ def propagate(photons, geometry, key, max_steps=100, use_weights=False,
     With track_steps=True also returns a list of (orig_indices, PhotonState)
     snapshots after every chunk, for photon-track displays
     (reference: gpu/photon.py photon_tracking).
+
+    With compaction on and no tracking, the whole bomb runs as ONE
+    device program with a static compaction schedule (_fused_bomb) —
+    zero intermediate host syncs. The chunked driver below remains for
+    tracking (needs per-chunk snapshots) and compact=False.
     """
     n = len(photons)
     # traversal pruning needs the true boundary distance to be irrelevant;
     # any scatter_first biasing computes weights from it, so turn it off
     prune = isinstance(scatter_first, int) and scatter_first == 0
+
+    if (USE_FUSED and compact and not track_steps
+            and isinstance(scatter_first, int)):
+        sched = _auto_schedule(n)
+        with profiler.region('propagate.fused[n=%d]' % n):
+            result = _fused_bomb(photons, geometry, key, sched,
+                                 int(max_steps), bool(use_weights),
+                                 int(scatter_first), prune)
+        if bool(_any_aborted(result)):
+            from chroma_tpu.log import logger
+            logger.warning('ABORTED PHOTONS')
+        return result
+
     # everything below stays device-resident: the only per-chunk host
     # traffic is the 4-byte alive count
     orig_idx = jnp.arange(n)
-    final = photons
-    final_owned = False     # becomes True once `final` is driver-owned
+    final_mat = _ps_pack_jit(photons)
     tracking = []
 
     growth = int(os.environ.get('CHROMA_CHUNK_GROWTH', '2'))
@@ -283,14 +447,12 @@ def propagate(photons, geometry, key, max_steps=100, use_weights=False,
                 # chunk boundary: ONE fused launch does write-back +
                 # compaction + the next chunk (3 separate remote
                 # dispatches cost ~45 ms host time each)
-                fused = (_fused_chunk_donated if final_owned
-                         else _fused_chunk)
                 with profiler.region('propagate.chunk[n=%d]' % bucket):
-                    final, current, orig_idx, _, alive = fused(
-                        final, current, orig_idx, geometry, key, step,
-                        nsteps, bucket, use_weights, scatter_first,
-                        prune)
-                    final_owned = True
+                    final_mat, current, orig_idx, _, alive = \
+                        _fused_chunk_donated(
+                            final_mat, current, orig_idx, geometry, key,
+                            step, nsteps, bucket, use_weights,
+                            scatter_first, prune)
                     n_alive = int(alive)
             else:
                 with profiler.region('propagate.chunk[n=%d]'
@@ -314,10 +476,8 @@ def propagate(photons, geometry, key, max_steps=100, use_weights=False,
             break
 
     # the last chunk's survivors-and-dead are still in `current`
-    scatter = _scatter_into_donated if final_owned else _scatter_into
-    final = scatter(final, orig_idx, current)
+    result = _scatter_unpack_donated(final_mat, orig_idx, current)
 
-    result = final
     if bool(_any_aborted(result)):
         from chroma_tpu.log import logger
         logger.warning('ABORTED PHOTONS')  # reference: gpu/photon.py:288

@@ -713,13 +713,13 @@ def _traversal_stages():
     """Compaction pyramid: (bounded iterations, width divisor) per stage.
     Tunable via CHROMA_TRAV_STAGES='14:2,8:4'; default NO staging.
 
-    Measured on v5e (round 3): the mid-traversal compaction that won
-    +1.7x in round 2 is now a ~2.7x LOSS — with the fused visit kernel a
-    full-width visit costs ~5.6 ms/1M lanes, while one stage boundary
-    (two _take_lanes permutes of the ~60-column state plus the overflow
-    fallback loop) costs ~0.5 s. Pure single-phase lockstep pays the
-    max-visits padding (max ~43 vs mean ~15) and still wins: 4.2 vs 1.2
-    Mrays/s on the quick detector."""
+    Measured on v5e (round 3): with per-leaf lane movement a stage
+    boundary cost ~0.5 s at 1M lanes and staging was a ~2.7x loss; the
+    packed fat-row boundaries (_pack_lanes) brought that to ~10-30 ms,
+    making staging cost-NEUTRAL (±1% end-to-end, e.g. '12:4,12:4' at
+    2.02M vs 2.00M photons/s unstaged on the quick detector) — the
+    step-level fused compaction schedule already absorbs the traversal
+    tail, so the default stays unstaged."""
     spec = os.environ.get('CHROMA_TRAV_STAGES')
     if spec:
         if spec in ('none', 'off', '0'):
@@ -750,10 +750,52 @@ def _lane_axis(a, n):
     return 0 if a.shape[0] == n else 1
 
 
+# Lane movement at stage boundaries goes through ONE packed (N, C) f32
+# matrix: per-leaf gathers are latency-bound at ~14-23 ns/row per LEAF
+# (independent of row width and index locality), and the traversal state
+# has ~45-60 leaf columns — moving them individually cost ~0.5 s at 1M
+# lanes (the round-3 "staging is a 2.7x loss" measurement), while the
+# packed relayout + one fat-row gather costs ~10-30 ms.
+
+def _pack_lanes(tree, n):
+    "Tree -> ((N, C) f32 matrix, leaf prototypes, treedef)."
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    cols = []
+    for a in leaves:
+        c = a[:, None] if a.ndim == 1 else \
+            (a if _lane_axis(a, n) == 0 else a.T)
+        if c.dtype == jnp.bool_:
+            c = c.astype(jnp.float32)
+        elif c.dtype != jnp.float32:
+            c = jax.lax.bitcast_convert_type(c, jnp.float32)
+        cols.append(c)
+    return jnp.concatenate(cols, axis=1), leaves, treedef
+
+
+def _unpack_lanes(mat, leaves, treedef, n):
+    "Inverse of _pack_lanes at a (possibly smaller) lane count."
+    out = []
+    c = 0
+    for a in leaves:
+        w = 1 if a.ndim == 1 else a.shape[1 - _lane_axis(a, n)]
+        sl = mat[:, c:c + w]
+        c += w
+        if a.dtype == jnp.bool_:
+            sl = sl > 0.5
+        elif a.dtype != jnp.float32:
+            sl = jax.lax.bitcast_convert_type(sl, a.dtype)
+        if a.ndim == 1:
+            sl = sl[:, 0]
+        elif _lane_axis(a, n) == 1:
+            sl = sl.T
+        out.append(sl)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def _take_lanes(tree, idx, n):
-    "Gather lanes of every leaf along its lane axis."
-    return jax.tree_util.tree_map(
-        lambda a: a[idx] if _lane_axis(a, n) == 0 else a[:, idx], tree)
+    "Gather lanes of every leaf, moved as one packed fat-row matrix."
+    mat, leaves, treedef = _pack_lanes(tree, n)
+    return _unpack_lanes(mat[idx], leaves, treedef, n)
 
 
 def _slice_lanes(tree, m, n):
@@ -801,8 +843,8 @@ def _staged_query(body_factory, accel, rays, state, stages):
 
     dest, perm = _compact_perm(state[0] >= 0)
 
-    rays_p = _take_lanes(rays, perm, n)
-    state_p = _take_lanes(state, perm, n)
+    # one packed gather moves rays and state together
+    rays_p, state_p = _take_lanes((rays, state), perm, n)
 
     rays_s = _slice_lanes(rays_p, m, n)
     state_s = _slice_lanes(state_p, m, n)

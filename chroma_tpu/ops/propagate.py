@@ -297,26 +297,92 @@ def _parse_schedule(spec):
                  for part in spec.split(','))
 
 
-def _auto_schedule(n):
-    """Compaction schedule for a batch of n photons. Most photons die in
-    the first steps (measured ~60% after step 0, ~87% by step 2 on the
-    demo detector), and per-step cost stops scaling below ~32-64k lanes
-    (the while_loop iteration floor), so stages stop dividing there."""
-    spec = os.environ.get('CHROMA_FUSED_SCHEDULE')
-    if spec is not None:
-        return _parse_schedule(spec)
-    sched = []
+# width below which compaction stops paying (per-step cost is dominated
+# by the while_loop iteration floor, not lane count)
+SCHED_FLOOR = 2048
+
+# conservative first-bomb schedule: divisor 2 everywhere tolerates up to
+# ~50% single-stage survival; its boundary alive counts feed the tuner
+PROBE_SCHEDULE = ((1, 2), (2, 2), (2, 2), (4, 2), (8, 2), (16, 2))
+
+
+def _trim_schedule(sched, n):
+    out = []
     width = n
-    for steps, div in ((1, 2), (2, 4), (4, 4), (8, 4)):
-        if width // div < 16384:
+    for steps, div in sched:
+        if width // div < max(SCHED_FLOOR, MIN_BATCH):
             break
-        sched.append((steps, div))
+        out.append((int(steps), int(div)))
         width //= div
+    return tuple(out)
+
+
+def _boundary_steps(sched, max_steps):
+    "Cumulative step index at each stage boundary of a schedule."
+    out, c = [], 0
+    for steps, _ in sched:
+        c = min(c + steps, max_steps)
+        out.append(c)
+    return out
+
+
+def _tune_schedule(n, boundary_steps, alive_counts, max_steps):
+    """Derive a compaction schedule from a measured survival curve
+    ((step, alive-fraction) points from a probe bomb): at each stage,
+    compact to the smallest power-of-two-divided width that still holds
+    MARGIN x the expected survivors — overflow spills into a bounded
+    full-suffix mop-up loop, which is correct but slow, so the margin
+    errs conservative. Spans follow a doubling pattern (the survival
+    tail flattens, so later stages run longer between compactions)."""
+    if not len(alive_counts):
+        return ()
+    margin = 1.3
+    pts = [(0, 1.0)]
+    for s, a in zip(boundary_steps, alive_counts):
+        pts.append((s, max(float(a) / n, 0.25 / n)))
+
+    def alive_at(step):
+        if step <= 0:
+            return 1.0
+        for (s0, f0), (s1, f1) in zip(pts, pts[1:]):
+            if step <= s1:
+                w = (step - s0) / max(s1 - s0, 1)
+                return f0 * (f1 / f0) ** w
+        # extrapolate past the probe with the last segment's decay rate
+        (s0, f0), (s1, f1) = pts[-2], pts[-1]
+        rate = min((f1 / f0) ** (1.0 / max(s1 - s0, 1)), 0.97)
+        return f1 * rate ** (step - s1)
+
+    sched = []
+    width, cursor, span = n, 0, 1
+    while len(sched) < 7 and cursor < max_steps:
+        div = 1
+        while True:
+            need = max(alive_at(cursor + span) * margin * n, MIN_BATCH)
+            for cand in (16, 8, 4, 2):
+                if width // cand >= max(need, SCHED_FLOOR):
+                    div = cand
+                    break
+            if div > 1 or span >= 64 or cursor + span >= max_steps:
+                break
+            span *= 2
+        if div == 1:
+            break
+        sched.append((span, div))
+        cursor += span
+        width //= div
+        span *= 2
     return tuple(sched)
 
 
 def _fused_bomb_impl(photons, geometry, key, schedule, max_steps,
-                     use_weights, scatter_first, prune):
+                     use_weights, scatter_first, prune, report=False):
+    """The whole bomb as one traced program (see module comment above).
+    With report=True additionally returns the alive count after each
+    stage's bounded loop (stacked i32) — the probe bomb's survival curve
+    for _tune_schedule, read back only after the program completes."""
+    counts = []
+
     def stage(ph, start, sched, salt):
         n = len(ph)
         skey = jax.random.fold_in(key, salt) if salt else key
@@ -327,8 +393,10 @@ def _fused_bomb_impl(photons, geometry, key, schedule, max_steps,
             return ph
         nsteps = min(sched[0][0], max_steps - start)
         div = sched[0][1]
-        ph, _, _ = _steps_loop(ph, geometry, skey, start, nsteps,
-                               use_weights, scatter_first, prune)
+        ph, _, alive = _steps_loop(ph, geometry, skey, start, nsteps,
+                                   use_weights, scatter_first, prune)
+        if report and salt == 0:
+            counts.append(alive)
         start2 = start + nsteps
         m = n // div
         if start2 >= max_steps or m < MIN_BATCH:
@@ -348,7 +416,10 @@ def _fused_bomb_impl(photons, geometry, key, schedule, max_steps,
             lambda a, b: jnp.concatenate([a, b], axis=0), prefix, suffix)
         return _ps_take(php, dest)
 
-    return stage(photons, 0, tuple(schedule), 0)
+    out = stage(photons, 0, tuple(schedule), 0)
+    if report:
+        return out, jnp.stack(counts) if counts else jnp.zeros(0, jnp.int32)
+    return out
 
 
 def _ps_compact_perm(active):
@@ -366,10 +437,29 @@ def _ps_compact_perm(active):
 _fused_bomb = jax.jit(
     _fused_bomb_impl,
     static_argnames=('schedule', 'max_steps', 'use_weights',
-                     'scatter_first', 'prune'))
+                     'scatter_first', 'prune', 'report'))
 
 
 USE_FUSED = os.environ.get('CHROMA_FUSED', '1') != '0'
+
+# per-(geometry, batch) tuned schedules, learned from each geometry's
+# first bomb (the probe). Keyed by id(): a stale entry after the
+# geometry object is collected can only mis-tune a later geometry that
+# reuses the address (perf noise, never correctness).
+_SCHED_CACHE = {}
+
+
+def schedule_for(geometry, n, max_steps=100):
+    """The fused-compaction schedule propagate() will use for this
+    (geometry, batch length): the env override, the probe-tuned entry,
+    or — before any probe has run — the conservative probe schedule."""
+    spec = os.environ.get('CHROMA_FUSED_SCHEDULE')
+    if spec is not None:
+        return _trim_schedule(_parse_schedule(spec), n)
+    cached = _SCHED_CACHE.get((id(geometry), n))
+    if cached is not None:
+        return cached
+    return _trim_schedule(PROBE_SCHEDULE, n)
 
 
 def propagate(photons, geometry, key, max_steps=100, use_weights=False,
@@ -394,11 +484,32 @@ def propagate(photons, geometry, key, max_steps=100, use_weights=False,
 
     if (USE_FUSED and compact and not track_steps
             and isinstance(scatter_first, int)):
-        sched = _auto_schedule(n)
-        with profiler.region('propagate.fused[n=%d]' % n):
-            result = _fused_bomb(photons, geometry, key, sched,
-                                 int(max_steps), bool(use_weights),
-                                 int(scatter_first), prune)
+        ck = (id(geometry), n)
+        env = os.environ.get('CHROMA_FUSED_SCHEDULE')
+        if env is not None:
+            sched = _trim_schedule(_parse_schedule(env), n)
+        else:
+            sched = _SCHED_CACHE.get(ck)
+        if sched is not None:
+            with profiler.region('propagate.fused[n=%d]' % n):
+                result = _fused_bomb(photons, geometry, key, sched,
+                                     int(max_steps), bool(use_weights),
+                                     int(scatter_first), prune)
+        else:
+            # first bomb on this (geometry, batch): run the conservative
+            # probe schedule, reporting the alive count at every stage
+            # boundary, and tune the schedule for all later bombs from
+            # the measured survival curve
+            probe = _trim_schedule(PROBE_SCHEDULE, n)
+            with profiler.region('propagate.probe[n=%d]' % n):
+                result, counts = _fused_bomb(
+                    photons, geometry, key, probe, int(max_steps),
+                    bool(use_weights), int(scatter_first), prune,
+                    report=True)
+            counts = np.asarray(counts)
+            bsteps = _boundary_steps(probe, int(max_steps))
+            _SCHED_CACHE[ck] = _tune_schedule(
+                n, bsteps[:len(counts)], counts, int(max_steps))
         if bool(_any_aborted(result)):
             from chroma_tpu.log import logger
             logger.warning('ABORTED PHOTONS')

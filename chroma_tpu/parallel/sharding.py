@@ -167,6 +167,32 @@ def _fused_program(mesh, use_weights, prune, donate):
 
 
 @lru_cache(maxsize=None)
+def _fused_bomb_program(mesh, schedule, max_steps, use_weights,
+                        scatter_first, prune):
+    """The whole bomb as ONE sharded launch: each shard runs the fused
+    static-compaction-schedule program (ops.propagate._fused_bomb_impl)
+    on its local slice — zero intermediate host syncs and zero cross-chip
+    traffic in the hot loop (each shard's early-exiting while_loops are
+    data-dependent per device, which SPMD permits because the loop bodies
+    contain no collectives)."""
+    from chroma_tpu.ops.propagate import _fused_bomb_impl
+
+    @jax.jit
+    def run(ph, geom, key):
+
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(P(AXIS), P(), P()), out_specs=P(AXIS))
+        def _run(ph, geom, key):
+            return _fused_bomb_impl(ph, geom, _shard_key(key), schedule,
+                                    max_steps, use_weights,
+                                    scatter_first, prune)
+
+        return _run(ph, geom, key)
+
+    return run
+
+
+@lru_cache(maxsize=None)
 def _writeback_program(mesh, donate):
     "Scatter a (smaller) live slice back into the full sharded batch."
 
@@ -240,6 +266,20 @@ def propagate_sharded(photons, geometry, key, max_steps=100, mesh=None,
         raise ValueError('batch length %d does not divide the %d-device '
                          'mesh; pad first (see pad_to_mesh)' % (n, nsh))
     prune = isinstance(scatter_first, int) and scatter_first == 0
+
+    from chroma_tpu.ops import propagate as prop_mod
+    if (prop_mod.USE_FUSED and compact
+            and isinstance(scatter_first, int)):
+        # reuse a single-chip probe-tuned schedule when one exists for
+        # the local batch; otherwise the conservative probe schedule
+        # (no per-shard probing: boundary counts would need collectives)
+        sched = prop_mod.schedule_for(geometry, n // nsh, max_steps)
+        prog = _fused_bomb_program(mesh, sched, int(max_steps),
+                                   bool(use_weights), int(scatter_first),
+                                   prune)
+        with profiler.region('sharded.fused[n=%d]' % n):
+            return prog(photons, geometry, key)
+
     steps = _steps_program(mesh, use_weights, prune)
     writeback = _writeback_program(mesh, False)
     writeback_d = _writeback_program(mesh, True)

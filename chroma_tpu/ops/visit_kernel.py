@@ -39,10 +39,22 @@ TB = int(os.environ.get('CHROMA_PALLAS_TB', '32'))
 PALLAS_VISIT = os.environ.get('CHROMA_PALLAS_VISIT', 'auto')
 
 
+def tile_rows(n):
+    """Sublane-tile rows for an n-lane batch: TB when it divides, else
+    the largest power-of-two tile that does. Keeps the kernel enabled
+    for the small compaction buckets the fused driver spends the
+    survival TAIL in (a 2k-lane bucket would otherwise fall back to the
+    ~200-HBM-stream jnp body for ~50 steps x ~30 visits)."""
+    tb = min(TB, max(n // 128, 1))
+    while tb > 1 and n % (tb * 128) != 0:
+        tb //= 2
+    return tb
+
+
 def enabled(n):
     if PALLAS_VISIT == '0':
         return False
-    if n % (TB * 128) != 0:
+    if n % 128 != 0 or n % (tile_rows(n) * 128) != 0:
         return False
     if PALLAS_VISIT in ('1', 'force'):
         return True
@@ -314,25 +326,26 @@ def visit_inst(rows, cur, depth, btri, d_inst, tbase, iid, bases, masks,
     bd', hctx', loc')."""
     TAG_INTERNAL, TAG_LEAF, TAG_INSTANCE, IBIG = tags
     nb = rows.shape[0]
+    tb = tile_rows(nb * 128)
     kern = functools.partial(_visit_kernel_inst, W=W, F=F, K=K, D=D,
                              TAG_INTERNAL=TAG_INTERNAL, TAG_LEAF=TAG_LEAF,
                              TAG_INSTANCE=TAG_INSTANCE, IBIG=IBIG)
 
     def spec(lead=None):
         if lead is None:
-            return pl.BlockSpec((TB, 128), lambda g: (g, 0),
+            return pl.BlockSpec((tb, 128), lambda g: (g, 0),
                                 memory_space=pltpu.VMEM)
-        return pl.BlockSpec((lead, TB, 128), lambda g: (0, g, 0),
+        return pl.BlockSpec((lead, tb, 128), lambda g: (0, g, 0),
                             memory_space=pltpu.VMEM)
 
-    rows_spec = pl.BlockSpec((TB, 128, W), lambda g: (g, 0, 0),
+    rows_spec = pl.BlockSpec((tb, 128, W), lambda g: (g, 0, 0),
                              memory_space=pltpu.VMEM)
     flat = spec()
     i32 = jax.ShapeDtypeStruct((nb, 128), jnp.int32)
     f32 = jax.ShapeDtypeStruct((nb, 128), jnp.float32)
     out = pl.pallas_call(
         kern,
-        grid=(nb // TB,),
+        grid=(nb // tb,),
         in_specs=[rows_spec, flat, flat, flat, flat, flat, flat,
                   spec(D), spec(D), flat]
                  + [flat] * 5 + [flat] * 15 + [spec(15), flat],

@@ -37,6 +37,14 @@ FANOUT = int(os.environ.get('CHROMA_BVH_FANOUT', '16'))
 LEAF_SIZE = int(os.environ.get('CHROMA_BVH_LEAF', '8'))
 MAX_DEPTH = 16
 
+# Instanced tables store internal-node child bounds as conservatively
+# rounded bf16 PAIRS (two children per f32 word), so a 32-wide internal
+# node costs the same gather bytes as a 16-wide f32 one. Internal visits
+# are ~75% of headline traversal; doubling the fanout at constant row
+# width cuts them ~1.5-2x while the extra slab lanes ride the VPU for
+# free (the visit is HBM-stream-bound). 0 disables (f32 bounds, FANOUT).
+PACKED_FANOUT = int(os.environ.get('CHROMA_BVH_PACKED_FANOUT', '32'))
+
 # row-type tags for the instanced table (stored bitcast-i32 in the last
 # column of each row)
 TAG_INTERNAL = 0
@@ -52,6 +60,53 @@ def _pad8(w):
     can take (TB, 128, W) blocks (sublane-aligned) and transpose them
     in-VMEM instead of paying an HBM transpose per visit."""
     return (w + 7) & ~7
+
+
+# bf16 quiet-NaN bit pattern: empty packed child slots decode to f32 NaN,
+# which the slab test rejects on every comparison (same convention as the
+# f32 rows' NaN padding). Inverted-inf empty boxes would NOT work: the
+# fma slab form lo*inv+neg yields (-inf, +inf) intervals that always hit.
+BF16_NAN = np.uint16(0x7FC0)
+
+
+def _bf16_dir_bits(x, up):
+    """Directed-rounding f32 -> bf16: the bf16 bit patterns (uint16) of
+    the largest bf16 <= x (up=False) or smallest bf16 >= x (up=True).
+    Child AABB lo bounds round down and hi bounds round up, so packed
+    boxes only ever GROW — culling stays conservative. Infinities map to
+    themselves; magnitude overflow saturates to the correct infinity."""
+    x = np.asarray(x, np.float32)
+    u = x.view(np.uint32) if x.flags['C_CONTIGUOUS'] \
+        else np.ascontiguousarray(x).view(np.uint32)
+    t = u & np.uint32(0xFFFF0000)
+    tv = t.view(np.float32)
+    # truncation moves toward zero; the cases needing a step are exactly
+    # the ones where the step is +1 ulp of MAGNITUDE (positive & up,
+    # negative & down), which is integer +0x10000 on the f32 pattern
+    need = (tv < x) if up else (tv > x)
+    t = np.where(need, t + np.uint32(0x10000), t)
+    return (t >> 16).astype(np.uint16)
+
+
+def _pack_bounds_words(lo, hi, pf):
+    """Pack per-child AABB bounds into the bf16-pair word layout.
+
+    lo, hi: (..., pf, 3) f32 (np.nan marks empty slots). Returns
+    (..., 6 * pf // 2) f32 words: [lo_x words, lo_y, lo_z, hi_x, hi_y,
+    hi_z], where word w of each group holds child w in the LOW 16 bits
+    and child w + pf//2 in the HIGH 16 bits."""
+    pw = pf // 2
+    lo16 = np.where(np.isnan(lo), np.uint32(BF16_NAN),
+                    _bf16_dir_bits(lo, up=False).astype(np.uint32))
+    hi16 = np.where(np.isnan(hi), np.uint32(BF16_NAN),
+                    _bf16_dir_bits(hi, up=True).astype(np.uint32))
+    parts = []
+    for arr in (lo16, hi16):
+        for ax in range(3):
+            parts.append(arr[..., :pw, ax] | (arr[..., pw:, ax] << 16))
+    words = np.ascontiguousarray(
+        np.concatenate(parts, axis=-1).astype(np.uint32))
+    return words.view(np.float32)
 
 
 @struct.dataclass
@@ -261,11 +316,19 @@ class InstancedBVH:
     # and instance ids let traversal return the winning hit's material
     # code, local-frame normal and owning instance with no follow-up
     # searchsorted/gathers (chroma_tpu.ops.photon.fill_state).
+    #
+    # With packed=True, internal rows instead hold bf16-PAIR bounds
+    # (_pack_bounds_words): 6 * F//2 words then first_child_row — a
+    # fanout-32 node in the same row width as a fanout-16 f32 one
+    # (width = max(3F+2, 11K, 15) + 1). Bounds are directed-rounded so
+    # boxes only grow: culling stays conservative, the exact leaf test
+    # is unchanged.
     rows: jnp.ndarray
     max_depth: int = struct.field(pytree_node=False)
     fanout: int = struct.field(pytree_node=False)
     leaf_size: int = struct.field(pytree_node=False)
     n_instances: int = struct.field(pytree_node=False)
+    packed: bool = struct.field(pytree_node=False, default=False)
 
 
 def _binary_sah_build(lo, hi, max_leaf, nbins=16):
@@ -365,13 +428,17 @@ def _binary_sah_build(lo, hi, max_leaf, nbins=16):
                 hi=np.asarray(NHi, np.float32), perm=perm)
 
 
-def _emit_wide_rows(bn, fanout, width, make_leaf_row):
+def _emit_wide_rows(bn, fanout, width, make_leaf_row, packed=False):
     """Collapse a binary SAH tree into tagged wide rows.
 
     make_leaf_row(node_id) -> (width,) f32 row for a binary leaf (tagged by
     the caller: triangle-leaf or instance row). Children of each wide node
     are emitted as one contiguous block; the parent stores the block's first
     row. Returns (rows, leaf_row_of_binary_leaf dict, max_push_depth).
+
+    With packed=True, internal rows store child bounds as bf16 pairs
+    (_pack_bounds_words): 6 * fanout // 2 words, then the first-child
+    pointer — a fanout-32 node in 98 columns instead of 194.
     """
     left, right = bn['left'], bn['right']
     blo, bhi = bn['lo'], bn['hi']
@@ -410,21 +477,31 @@ def _emit_wide_rows(bn, fanout, width, make_leaf_row):
             ch.extend((int(left[c]), int(right[c])))
 
         row = np.zeros(width, np.float32)
-        row[:6 * fanout] = np.nan
+        clo = np.full((fanout, 3), np.nan, np.float32)
+        chi = np.full((fanout, 3), np.nan, np.float32)
+        if not packed:
+            row[:6 * fanout] = np.nan
         first = None
         for j, c in enumerate(ch):
             crid = alloc_row()
             if first is None:
                 first = crid
-            for ax in range(3):
-                row[ax * fanout + j] = blo[c][ax]
-                row[(3 + ax) * fanout + j] = bhi[c][ax]
+            if packed:
+                clo[j] = blo[c]
+                chi[j] = bhi[c]
+            else:
+                for ax in range(3):
+                    row[ax * fanout + j] = blo[c][ax]
+                    row[(3 + ax) * fanout + j] = bhi[c][ax]
             if left[c] >= 0:
                 queue.append((c, crid, depth + 1))
             else:
                 rows[crid] = make_leaf_row(c)
                 leaf_row_index[c] = crid
-        row[6 * fanout] = np.int32(first).view(np.float32)
+        nw = 6 * (fanout // 2) if packed else 6 * fanout
+        if packed:
+            row[:nw] = _pack_bounds_words(clo, chi, fanout)
+        row[nw] = np.int32(first).view(np.float32)
         row[width - 1] = np.int32(TAG_INTERNAL).view(np.float32)
         rows[rid] = row
 
@@ -454,7 +531,8 @@ def _tri_leaf_row_maker(bn, tri, width, leaf_size, codes):
     return make
 
 
-def _blas_rows(mesh, fanout, leaf_size, width, sah_threshold, codes):
+def _blas_rows(mesh, fanout, leaf_size, width, sah_threshold, codes,
+               packed=False):
     """Local-frame BLAS rows for one unique mesh (codes: per-local-tri
     packed u32). Returns (rows (R,width) f32, max_push_depth)."""
     vertices = mesh.vertices.astype(np.float32)
@@ -469,24 +547,42 @@ def _blas_rows(mesh, fanout, leaf_size, width, sah_threshold, codes):
         bn = _binary_sah_build(tri_lo, tri_hi, max_leaf=leaf_size)
         rows, _, depth = _emit_wide_rows(
             bn, fanout, width, _tri_leaf_row_maker(bn, tri, width,
-                                                   leaf_size, codes))
+                                                   leaf_size, codes),
+            packed=packed)
         return rows, depth
 
-    # very large unique mesh: fast Morton-leveled build, then tag the rows
-    w = build_wide_bvh(mesh, fanout=fanout, leaf_size=leaf_size,
+    # very large unique mesh: fast Morton-leveled build at the f32 base
+    # fanout, then tag the rows (and repack bounds into the bf16-pair
+    # layout when the table is packed — children beyond FANOUT are empty)
+    base_fanout = FANOUT if packed else fanout
+    w = build_wide_bvh(mesh, fanout=base_fanout, leaf_size=leaf_size,
                        material_codes=codes)
     src = np.asarray(w.rows)
     rows = np.zeros((len(src), width), np.float32)
-    rows[:, :src.shape[1]] = src
+    if packed:
+        nb = w.leaf_base
+        bb = src[:nb, :6 * base_fanout].reshape(nb, 6, base_fanout)
+        clo = np.full((nb, fanout, 3), np.nan, np.float32)
+        chi = np.full((nb, fanout, 3), np.nan, np.float32)
+        for ax in range(3):
+            clo[:, :base_fanout, ax] = bb[:, ax]
+            chi[:, :base_fanout, ax] = bb[:, 3 + ax]
+        nw = 6 * (fanout // 2)
+        rows[:nb, :nw] = _pack_bounds_words(clo, chi, fanout)
+        rows[:nb, nw] = src[:nb, 6 * base_fanout]
+        rows[nb:, :LEAF_STRIDE * leaf_size] = \
+            src[nb:, :LEAF_STRIDE * leaf_size]
+    else:
+        rows[:, :src.shape[1]] = src
     rows[:w.leaf_base, width - 1] = np.int32(TAG_INTERNAL) \
         .view(np.float32)
     rows[w.leaf_base:, width - 1] = np.int32(TAG_LEAF).view(np.float32)
     return rows, w.max_depth
 
 
-def build_instanced_bvh(instances, fanout=FANOUT, leaf_size=LEAF_SIZE,
+def build_instanced_bvh(instances, fanout=None, leaf_size=LEAF_SIZE,
                         sah_threshold=200000, want_meta=False,
-                        material_codes=None):
+                        material_codes=None, packed_fanout=None):
     """Build a two-level (TLAS/BLAS) tagged wide BVH.
 
     instances: list of (mesh, rotation, displacement, tri_base) — the
@@ -503,8 +599,23 @@ def build_instanced_bvh(instances, fanout=FANOUT, leaf_size=LEAF_SIZE,
     'unique_meshes', 'rot_l2w' (n_inst,3,3) f32, 'tri_base' (n_inst,) i64
     — the inputs the lean per-instance geometry arrays are built from
     (chroma_tpu.ops.types.build_instance_arrays).
+
+    packed_fanout (default from CHROMA_BVH_PACKED_FANOUT, 0 disables):
+    store internal bounds as bf16 pairs at this even fanout — more
+    children per visit at the same gather bytes.
     """
-    width = _pad8(max(6 * fanout + 2, LEAF_STRIDE * leaf_size, 15) + 1)
+    if packed_fanout is None:
+        packed_fanout = PACKED_FANOUT if fanout is None else 0
+    packed = bool(packed_fanout)
+    if fanout is None:
+        fanout = FANOUT
+    if packed:
+        if packed_fanout % 2 or not 2 <= packed_fanout <= 32:
+            raise ValueError('packed_fanout must be even and in [2, 32]')
+        fanout = packed_fanout
+    bound_cols = 3 * fanout if packed else 6 * fanout
+    width = _pad8(max(bound_cols + 2, LEAF_STRIDE * leaf_size, 15) + 1)
+    fc_col = bound_cols
     ident = np.identity(3, np.float32)
 
     # resolve unique (mesh, codes) pairs, baking non-rigid placements
@@ -545,7 +656,8 @@ def build_instanced_bvh(instances, fanout=FANOUT, leaf_size=LEAF_SIZE,
     ) if want_meta else None
 
     # per-unique-mesh BLAS (local frame)
-    blas = [_blas_rows(m, fanout, leaf_size, width, sah_threshold, c)
+    blas = [_blas_rows(m, fanout, leaf_size, width, sah_threshold, c,
+                       packed=packed)
             for m, c in zip(unique, unique_codes)]
     local_lo = [m.vertices.min(axis=0).astype(np.float32) for m in unique]
     local_hi = [m.vertices.max(axis=0).astype(np.float32) for m in unique]
@@ -580,7 +692,7 @@ def build_instanced_bvh(instances, fanout=FANOUT, leaf_size=LEAF_SIZE,
         return row
 
     tlas_rows, leaf_row_index, tlas_depth = _emit_wide_rows(
-        bn, fanout, width, make_instance_row)
+        bn, fanout, width, make_instance_row, packed=packed)
     tlas_n = len(tlas_rows)
 
     # concatenate [TLAS | BLAS_0 | BLAS_1 | ...], fixing pointers
@@ -591,8 +703,8 @@ def build_instanced_bvh(instances, fanout=FANOUT, leaf_size=LEAF_SIZE,
         rows = rows.copy()
         tags = rows[:, width - 1].view(np.int32)
         internal = tags == TAG_INTERNAL
-        ptr = rows[internal, 6 * fanout].view(np.int32) + np.int32(off)
-        rows[internal, 6 * fanout] = ptr.view(np.float32)
+        ptr = rows[internal, fc_col].view(np.int32) + np.int32(off)
+        rows[internal, fc_col] = ptr.view(np.float32)
         all_rows.append(rows)
     table = np.concatenate(all_rows, axis=0)
 
@@ -613,6 +725,7 @@ def build_instanced_bvh(instances, fanout=FANOUT, leaf_size=LEAF_SIZE,
         fanout=fanout,
         leaf_size=leaf_size,
         n_instances=n_inst,
+        packed=packed,
     )
     if want_meta:
         return built, meta

@@ -21,7 +21,7 @@ import os
 import numpy as np
 import jax.numpy as jnp
 
-FORMAT_VERSION = 2   # v2: LEAF_STRIDE-11 rows w/ baked codes + instance ids
+FORMAT_VERSION = 3   # v3: packed bf16-pair fanout-32 internal rows
 
 
 def _registry():

@@ -92,7 +92,7 @@ def _ctz32_i32(m):
         jax.lax.population_count(low - 1).astype(jnp.int32))
 
 
-def _child_sweep(gT, f, ray_cols, best_d, active):
+def _child_sweep(gT, f, ray_cols, best_d, active, packed=False):
     """Slab test of all F children of a fetched node row, in column form:
     every operand is a fully lane-packed (N,) vector (the (N, 3, F)
     formulation left the 128-lane VPU at ~5% utilization and dominated
@@ -100,16 +100,34 @@ def _child_sweep(gT, f, ray_cols, best_d, active):
     of the table is a contiguous (N,) row here. The sweep runs as a
     lax.fori_loop — a static unroll of F copies of this body inside the
     traversal while_loop was more than the TPU compiler could digest.
+    With packed=True the bounds are bf16 pairs (bvh.wide
+    _pack_bounds_words): child c's value sits in the low (c < F/2) or
+    high half of word c mod F/2 — two shifts decode it; empty slots
+    decode to NaN and fail every comparison like the f32 NaN padding.
     Returns (hit bitmask (N,) u32, nearest hit child (N,) i32)."""
     (ox, oy, oz), (ix, iy, iz), (nx, ny, nz), (fx, fy, fz) = ray_cols
     neg_inf = jnp.float32(-jnp.inf)
     pos_inf = jnp.float32(jnp.inf)
+    pw = f // 2
 
     def body(c, carry):
         hitmask, nearest, tnear = carry
-        def col(k):
-            return jax.lax.dynamic_slice_in_dim(gT, c + k * f, 1,
-                                                axis=0)[0]
+        if packed:
+            low = c < pw
+            w = jnp.where(low, c, c - pw)
+
+            def col(k):
+                word = jax.lax.dynamic_slice_in_dim(
+                    gT, w + k * pw, 1, axis=0)[0]
+                u = jax.lax.bitcast_convert_type(word, jnp.int32)
+                lov = jax.lax.bitcast_convert_type(u << 16, jnp.float32)
+                hiv = jax.lax.bitcast_convert_type(
+                    u & jnp.int32(-65536), jnp.float32)
+                return jnp.where(low, lov, hiv)
+        else:
+            def col(k):
+                return jax.lax.dynamic_slice_in_dim(gT, c + k * f, 1,
+                                                    axis=0)[0]
         lox, loy, loz = col(0), col(1), col(2)
         hix, hiy, hiz = col(3), col(4), col(5)
         t0x = lox * ix + nx
@@ -464,14 +482,17 @@ def _make_body_inst(inst, rays):
 
         hitmask, nearest = _child_sweep(gT, f,
                                         (o_cc, inv_cc, neg_cc, fin_cc),
-                                        best_d, internal)
+                                        best_d, internal,
+                                        packed=getattr(inst, 'packed',
+                                                       False))
         hitmask = jax.lax.bitcast_convert_type(hitmask, jnp.int32)
         best_tri, best_d, *hctx = _leaf_sweep(
             gT, k, o_cc, d_cc, last_hit, at_leaf,
             (best_tri, best_d) + tuple(hctx), tri_base=tbase, iid=iid)
         hctx = tuple(hctx)
 
-        first_child = jax.lax.bitcast_convert_type(gT[6 * f], jnp.int32)
+        fc_col = 3 * f if getattr(inst, 'packed', False) else 6 * f
+        first_child = jax.lax.bitcast_convert_type(gT[fc_col], jnp.int32)
 
         # instance entry: rotate the WORLD ray into the instance frame
         # (column form: nine (N,) fma chains instead of an (N,3,3) einsum)
@@ -589,7 +610,8 @@ def _make_body_inst_pallas(inst, rays, world_loc):
             bases.reshape(depth_max, nb, 128),
             masks.reshape(depth_max, nb, 128),
             r2(best_d), hctx_t, loc_t, rays_pack, last_t,
-            width, f, k, depth_max, tags, interpret=interp)
+            width, f, k, depth_max, tags, interpret=interp,
+            packed=getattr(inst, 'packed', False))
 
         loc_out = tuple(loc_t[i].reshape(n) for i in range(15))
         hctx_out = tuple(h.reshape(n) for h in hctx_t)

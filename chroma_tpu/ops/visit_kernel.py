@@ -93,7 +93,7 @@ def _ctz32(m):
 
 
 def _visit_kernel_inst(*refs, W, F, K, D, TAG_INTERNAL, TAG_LEAF,
-                       TAG_INSTANCE, IBIG):
+                       TAG_INSTANCE, IBIG, PACKED=False):
     """One traversal visit for a (TB, 128) tile of lanes (instanced
     table). refs: rows (TB, 128, W), cur, depth, best_tri, d_inst, tbase,
     iid, bases, masks, bd, bcode, bn x3, biid, loc x15, rays, last |
@@ -146,9 +146,22 @@ def _visit_kernel_inst(*refs, W, F, K, D, TAG_INTERNAL, TAG_LEAF,
     nearest = jnp.zeros_like(cur)
     tnear = jnp.full_like(best_d, jnp.inf)
     fin_ok = [f > 0.5 for f in fin_cc]
+    PW = F // 2 if PACKED else F
+
+    def _bound(g, c):
+        """Bound group g (0..5 = lo_x..hi_z) of child c. Packed rows hold
+        bf16 pairs: child c in the low (c < F/2) or high half of word
+        c mod F/2 (bvh.wide._pack_bounds_words); empty slots decode NaN."""
+        if not PACKED:
+            return gT[g * F + c]
+        u = _bitcast_i32(gT[g * PW + (c % PW)])
+        if c < PW:
+            return _bitcast_f32(u << 16)
+        return _bitcast_f32(u & jnp.int32(-65536))
+
     for c in range(F):
-        lox, loy, loz = gT[c], gT[F + c], gT[2 * F + c]
-        hix, hiy, hiz = gT[3 * F + c], gT[4 * F + c], gT[5 * F + c]
+        lox, loy, loz = _bound(0, c), _bound(1, c), _bound(2, c)
+        hix, hiy, hiz = _bound(3, c), _bound(4, c), _bound(5, c)
         t0x = lox * inv_cc[0] + neg_cc[0]
         t1x = hix * inv_cc[0] + neg_cc[0]
         t0y = loy * inv_cc[1] + neg_cc[1]
@@ -223,7 +236,7 @@ def _visit_kernel_inst(*refs, W, F, K, D, TAG_INTERNAL, TAG_LEAF,
         bnz = jnp.where(closer, e1x * e2y - e1y * e2x, bnz)
         best_iid = jnp.where(closer, iid, best_iid)
 
-    first_child = _bitcast_i32(gT[6 * F])
+    first_child = _bitcast_i32(gT[3 * F if PACKED else 6 * F])
 
     # --- instance entry: rotate the world ray into the instance frame ---
     rays = [rays_ref[i] for i in range(15)]
@@ -311,10 +324,10 @@ def _visit_kernel_inst(*refs, W, F, K, D, TAG_INTERNAL, TAG_LEAF,
 
 
 @functools.partial(jax.jit, static_argnames=('W', 'F', 'K', 'D', 'tags',
-                                             'interpret'))
+                                             'interpret', 'packed'))
 def visit_inst(rows, cur, depth, btri, d_inst, tbase, iid, bases, masks,
                bd, hctx, loc, rays, last, W, F, K, D, tags,
-               interpret=False):
+               interpret=False, packed=False):
     """Run one instanced-table visit on all lanes.
 
     rows: (NB, 128, W) f32 gathered rows (UNTRANSPOSED; the kernel
@@ -329,7 +342,8 @@ def visit_inst(rows, cur, depth, btri, d_inst, tbase, iid, bases, masks,
     tb = tile_rows(nb * 128)
     kern = functools.partial(_visit_kernel_inst, W=W, F=F, K=K, D=D,
                              TAG_INTERNAL=TAG_INTERNAL, TAG_LEAF=TAG_LEAF,
-                             TAG_INSTANCE=TAG_INSTANCE, IBIG=IBIG)
+                             TAG_INSTANCE=TAG_INSTANCE, IBIG=IBIG,
+                             PACKED=packed)
 
     def spec(lead=None):
         if lead is None:

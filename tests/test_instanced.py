@@ -12,6 +12,7 @@ from chroma_tpu.demo.optics import water
 from chroma_tpu.make import box, sphere
 from chroma_tpu.transform import make_rotation_matrix
 from chroma_tpu.ops.types import build_geometry_arrays
+from chroma_tpu.bvh.wide import TAG_LEAF
 from chroma_tpu.ops.mesh_wide import intersect_mesh_wide
 from chroma_tpu.bvh.wide import InstancedBVH, WideBVH
 import pytest
@@ -48,9 +49,15 @@ def test_instanced_matches_monolithic():
     # the hot path (Pallas kernel, baked hit context) stays uniform
     assert isinstance(ga_m.wide, InstancedBVH)
     assert ga_m.wide.n_instances == 1
-    # 6 placements share ONE BLAS: far fewer rows than the monolithic
+    # 6 placements share ONE BLAS: fewer triangle-leaf rows than the
+    # monolithic soup, which stores every placement's triangles
     assert ga_i.wide.n_instances == 7
-    assert ga_i.wide.rows.shape[0] < ga_m.wide.rows.shape[0]
+
+    def leaf_rows(ga):
+        tags = np.asarray(ga.wide.rows)[:, -1].view(np.int32)
+        return int((tags == TAG_LEAF).sum())
+
+    assert leaf_rows(ga_i) < leaf_rows(ga_m)
 
     o, d = _random_rays(2000)
     t_i, d_i = intersect_mesh_wide(o, d, ga_i.wide)
@@ -157,6 +164,53 @@ def test_ctz32_i32_full_word():
     ref = np.asarray(_ctz32(jnp.asarray(vals)))
     assert (got == ref).all(), (got, ref)
     assert got[0] == 32 and got[5] == 31 and got[6] == 0
+
+
+def test_packed_bounds_match_f32():
+    """bf16-pair packed internal rows (the default) find the SAME nearest
+    triangles as the f32 f16-fanout build: directed rounding only grows
+    the boxes, so culling stays conservative and the exact leaf test
+    picks the identical winner."""
+    from chroma_tpu.bvh.wide import build_instanced_bvh
+
+    geo = _pmt_array_geometry(9)
+    tri_base = np.cumsum([0] + [len(s.mesh.triangles) for s in geo.solids])
+    instances = [(s.mesh, geo.solid_rotations[i],
+                  geo.solid_displacements[i], int(tri_base[i]))
+                 for i, s in enumerate(geo.solids)]
+    bp = build_instanced_bvh(instances)
+    bf = build_instanced_bvh(instances, fanout=16)
+    assert bp.packed and not bf.packed
+    assert bp.rows.shape[1] == bf.rows.shape[1]   # same gather bytes
+    o, d = _random_rays(4000, seed=11)
+    tp, dp = intersect_mesh_wide(o, d, bp)
+    tf, df = intersect_mesh_wide(o, d, bf)
+    assert (np.asarray(tp) == np.asarray(tf)).all()
+    hit = np.asarray(tf) >= 0
+    assert np.allclose(np.asarray(dp)[hit], np.asarray(df)[hit],
+                       rtol=1e-5, atol=1e-3)
+
+
+def test_bf16_directed_rounding():
+    "lo rounds down, hi rounds up, infinities and exact values unchanged."
+    from chroma_tpu.bvh.wide import _bf16_dir_bits
+
+    vals = np.array([1.0, -1.0, 1.0 + 2 ** -20, -(1.0 + 2 ** -20),
+                     12345.678, -12345.678, 0.0, -0.0,
+                     np.inf, -np.inf, 3.0e38, -3.0e38], np.float32)
+
+    def back(bits):
+        return (bits.astype(np.uint32) << 16).view(np.float32)
+
+    lo = back(_bf16_dir_bits(vals, up=False))
+    hi = back(_bf16_dir_bits(vals, up=True))
+    assert (lo <= vals).all() and (hi >= vals).all()
+    exact = np.array([1.0, -1.0, 0.0, -0.0, np.inf, -np.inf], np.float32)
+    assert (back(_bf16_dir_bits(exact, up=False)) == exact).all()
+    assert (back(_bf16_dir_bits(exact, up=True)) == exact).all()
+    # magnitude overflow saturates to the conservative infinity
+    assert back(_bf16_dir_bits(np.float32(3.39e38), up=True)) == np.inf
+    assert back(_bf16_dir_bits(np.float32(-3.39e38), up=False)) == -np.inf
 
 
 def test_fanout32_traversal_matches_default():

@@ -42,6 +42,13 @@ PHASE1_ITERS = 28
 COMPACT_DIVISOR = 4
 MIN_TWO_PHASE = 4096
 
+
+def _stage_min():
+    """Minimum lane count for restart staging (below this the
+    loop-iteration floor dominates and in-traversal compaction cannot
+    pay). Read per trace so tests can override it after import."""
+    return int(os.environ.get('CHROMA_TRAV_STAGE_MIN', '65536'))
+
 # visits per while_loop iteration: >1 amortizes the measured
 # ~0.5-2 ms/iteration loop overhead (nearly width-independent on this
 # runtime, so small widths get deeper unrolls), at the cost of up to
@@ -355,7 +362,7 @@ def _context_result(best_tri, best_d, hctx, iid=None):
 
 def intersect_mesh_wide(origin, direction, wide, last_hit_triangle=None,
                         mask=None, best_limit=None, two_phase=True,
-                        want_context=False):
+                        want_context=False, stages=None):
     """Nearest-triangle query against a WideBVH.
 
     origin/direction: (N,3) f32, direction normalized.
@@ -375,7 +382,7 @@ def intersect_mesh_wide(origin, direction, wide, last_hit_triangle=None,
         return intersect_mesh_instanced(origin, direction, wide,
                                         last_hit_triangle, mask,
                                         best_limit, two_phase,
-                                        want_context)
+                                        want_context, stages)
     n = origin.shape[0]
     depth_max = wide.max_depth
 
@@ -625,13 +632,9 @@ def _make_body_inst_pallas(inst, rays, world_loc):
     return body
 
 
-def intersect_mesh_instanced(origin, direction, inst,
-                             last_hit_triangle=None, mask=None,
-                             best_limit=None, two_phase=True,
-                             want_context=False):
-    """Nearest-triangle query against an InstancedBVH. Same contract as
-    intersect_mesh_wide; returned triangle ids index the flattened soup.
-    The want_context normal is in the winning instance's LOCAL frame."""
+def _init_inst(inst, origin, direction, last_hit_triangle, mask,
+               best_limit, best_tri0=None, hctx0=None):
+    "Fresh root-descent (rays, state) for the instanced traversal."
     n = origin.shape[0]
     depth_max = inst.max_depth
 
@@ -652,7 +655,8 @@ def intersect_mesh_instanced(origin, direction, inst,
     bases0 = jnp.zeros((depth_max, n), dtype=jnp.int32) + izero[None, :]
     # masks carried i32 (kernel state layout; see _ctz32_i32)
     masks0 = jnp.zeros((depth_max, n), dtype=jnp.int32) + izero[None, :]
-    best_tri0 = izero - 1
+    if best_tri0 is None:
+        best_tri0 = izero - 1
     best_d0 = fzero + jnp.inf
     if best_limit is not None:
         best_d0 = best_limit
@@ -663,16 +667,120 @@ def intersect_mesh_instanced(origin, direction, inst,
     # finite flags as f32 0/1 (kernel state layout)
     loc0 = cols[0] + cols[1] + cols[2] + cols[3] \
         + tuple(fc.astype(jnp.float32) for fc in cols[4])
-    hctx0 = (izero, fzero, fzero, fzero, izero)   # code, normal, iid
+    if hctx0 is None:
+        hctx0 = (izero, fzero, fzero, fzero, izero)  # code, normal, iid
     state = (cur0, depth0, bases0, masks0, best_tri0, best_d0,
              loc0, izero + IBIG, izero, izero, hctx0)
+    return rays, state
 
-    if not two_phase or n < MIN_TWO_PHASE:
+
+def _restart_staged_inst(inst, rays, state, stages):
+    """Instanced traversal with RESTART tail compaction.
+
+    Each stage runs the lockstep loop for a bounded number of visits;
+    the still-walking minority is then front-packed into a static
+    1/div slice and RESTARTED from the root with its accumulated
+    (best_tri, best_d, hit context) carried over — the tightened best_d
+    plus nearest-first descent prunes the re-walk to ~one mean-visit
+    cost, so no stack/mask state needs to move. The boundary is ten 1-D
+    gathers + five 1-D scatters: a packed 2-D lane move here (the
+    previous _staged_query approach) materializes (N, 1) minor-padded
+    remat buffers inside the step while_loop — 512 MB each at 1M lanes,
+    an instant HBM OOM at headline scale.
+
+    Analog of the reference's warp-level traversal re-convergence
+    (reference: chroma/cuda/mesh.h:45-126 node-stack loop); the restart
+    trick has no CUDA counterpart — it exploits best-d pruning to make
+    compaction nearly stateless on a vector machine.
+    """
+    n = rays[0].shape[0]
+    unroll = _unroll_for(n)
+    body = _unrolled(_make_body_inst(inst, rays), n, unroll)
+
+    if not stages:
+        return jax.lax.while_loop(_any_active, body, state)
+
+    visits, div = stages[0]
+
+    def cond1(carry):
+        i, st = carry
+        return (i < visits) & _any_active(st)
+
+    def body1(carry):
+        i, st = carry
+        return i + unroll, body(st)
+
+    _, state = jax.lax.while_loop(cond1, body1, (0, state))
+
+    m = n // div
+    if m < MIN_TWO_PHASE // COMPACT_DIVISOR:
+        return jax.lax.while_loop(_any_active, body, state)
+
+    origin, direction, _inv, _neg, _fin, last_hit = rays
+
+    def boundary(state):
+        cur = state[0]
+        active = cur >= 0
+        _, perm = _compact_perm(active)
+        sel = perm[:m]
+
+        act_s = active[sel]
+        hctx = state[10]
+        rays_s, state_s = _init_inst(
+            inst, origin[sel], direction[sel], last_hit[sel], act_s,
+            state[5][sel], best_tri0=state[4][sel],
+            hctx0=tuple(h[sel] for h in hctx))
+        state_s = _restart_staged_inst(inst, rays_s, state_s, stages[1:])
+
+        # merge: the sub-query's result registers win for the moved
+        # lanes (sel is a permutation slice — no duplicate indices;
+        # lanes moved while already finished just write their unchanged
+        # registers back)
+        best_tri = state[4].at[sel].set(state_s[4])
+        best_d = state[5].at[sel].set(state_s[5])
+        hctx_m = tuple(h.at[sel].set(hs)
+                       for h, hs in zip(hctx, state_s[10]))
+        cur = cur.at[sel].set(-1)
+        return (cur, state[1], state[2], state[3], best_tri, best_d,
+                state[6], state[7], state[8], state[9], hctx_m)
+
+    # geometries/steps whose visit distribution has no deep tail finish
+    # inside the bounded loop; the cond skips the whole boundary (its
+    # gathers and the sub-query) at runtime in that case, so generous
+    # stage specs cost nothing where they don't pay
+    state = jax.lax.cond(_any_active(state), boundary, lambda s: s, state)
+
+    # overflow lanes (survivors beyond the slice — rare by construction)
+    # finish at full width; free when absent (immediate exit)
+    return jax.lax.while_loop(_any_active, body, state)
+
+
+def intersect_mesh_instanced(origin, direction, inst,
+                             last_hit_triangle=None, mask=None,
+                             best_limit=None, two_phase=True,
+                             want_context=False, stages=None):
+    """Nearest-triangle query against an InstancedBVH. Same contract as
+    intersect_mesh_wide; returned triangle ids index the flattened soup.
+    The want_context normal is in the winning instance's LOCAL frame.
+
+    `stages`: restart-staging spec ((visits, divisor), ...) — explicit
+    (probe-tuned by chroma_tpu.ops.propagate) or, when None, the
+    CHROMA_TRAV_STAGES env spec gated to widths where per-iteration
+    cost still scales with lane count (below ~64k lanes the while_loop
+    iteration floor dominates and compaction cannot reduce the
+    iteration count — the tail lane still walks)."""
+    n = origin.shape[0]
+    rays, state = _init_inst(inst, origin, direction, last_hit_triangle,
+                             mask, best_limit)
+
+    if stages is None:
+        stages = _traversal_stages() if (two_phase
+                                         and n >= _stage_min()) else ()
+    if not two_phase or n < MIN_TWO_PHASE or not stages:
         body = _unrolled(_make_body_inst(inst, rays), n)
         state = jax.lax.while_loop(_any_active, body, state)
     else:
-        state = _staged_query(_make_body_inst, inst, rays, state,
-                              _traversal_stages())
+        state = _restart_staged_inst(inst, rays, state, stages)
     if want_context:
         return _context_result(state[4], state[5], state[10][:4],
                                state[10][4])

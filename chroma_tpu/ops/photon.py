@@ -199,7 +199,7 @@ def surface_property(surfaces, surf_idx, prop, wavelength, wl0, wl_step):
 # ---------------------------------------------------------------------------
 
 def fill_state(photons, geometry, active, best_limit=None, pruned=None,
-               pre_props=None, mrows=None):
+               pre_props=None, mrows=None, trav_stages=None):
     """Find each photon's next boundary and resolve the optical context
     (reference: photon.h:87-397). Lanes not in `active` are skipped in the
     traversal. Returns (photons', StepState); photons' has NO_HIT flags and
@@ -223,7 +223,8 @@ def fill_state(photons, geometry, active, best_limit=None, pruned=None,
         tri, dist, hit_code, hit_normal, hit_iid = intersect_mesh_wide(
             photons.pos, photons.dir, geometry.wide,
             photons.last_hit_triangle, mask=active,
-            best_limit=best_limit, want_context=True)
+            best_limit=best_limit, want_context=True,
+            stages=trav_stages)
         hit_ctx = (hit_code, hit_normal, hit_iid)
     else:
         tri, dist = intersect_mesh(photons.pos, photons.dir, geometry,
@@ -1083,7 +1084,7 @@ def propagate_at_surface(photons, state, pool, geometry,
 # ---------------------------------------------------------------------------
 
 def propagate_step(photons, geometry, key, use_weights=False,
-                   scatter_first=0, prune=True):
+                   scatter_first=0, prune=True, trav_stages=None):
     """One propagation step for the whole batch — the vectorized equivalent
     of one iteration of the per-thread loop in the propagate kernel
     (reference: chroma/cuda/propagate.cu:300-338).
@@ -1143,7 +1144,8 @@ def propagate_step(photons, geometry, key, use_weights=False,
     # geometry query; photons with no boundary get NO_HIT and terminate
     photons, state = fill_state(photons, geometry, active,
                                 best_limit=limit, pruned=pruned,
-                                pre_props=pre_props, mrows=mrows)
+                                pre_props=pre_props, mrows=mrows,
+                                trav_stages=trav_stages)
     active = active & state.hit
 
     # bulk transport (one pooled RNG stream for the whole step)

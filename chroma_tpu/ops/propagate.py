@@ -80,7 +80,7 @@ def photon_state_to_host(state, channel=None):
 
 
 def _steps_loop(photons, geometry, key, start_step, nsteps, use_weights,
-                scatter_first, prune):
+                scatter_first, prune, trav_stages=None):
     "Shared early-exiting step loop (traced inside the jitted programs)."
     scatter_first = jnp.asarray(scatter_first, dtype=jnp.int32)
 
@@ -94,7 +94,8 @@ def _steps_loop(photons, geometry, key, start_step, nsteps, use_weights,
         step_key = jax.random.fold_in(key, abs_step)
         sf = jnp.where(abs_step == 0, scatter_first, 0)
         ph = propagate_step(ph, geometry, step_key, use_weights=use_weights,
-                            scatter_first=sf, prune=prune)
+                            scatter_first=sf, prune=prune,
+                            trav_stages=trav_stages)
         return i + 1, ph
 
     steps_done, photons = jax.lax.while_loop(cond, body, (0, photons))
@@ -105,9 +106,9 @@ def _steps_loop(photons, geometry, key, start_step, nsteps, use_weights,
     return photons, steps_done, jnp.sum(photons.alive.astype(jnp.int32))
 
 
-@partial(jax.jit, static_argnames=('use_weights', 'prune'))
+@partial(jax.jit, static_argnames=('use_weights', 'prune', 'trav_stages'))
 def run_steps(photons, geometry, key, start_step, nsteps, use_weights=False,
-              scatter_first=0, prune=True):
+              scatter_first=0, prune=True, trav_stages=None):
     """Run up to `nsteps` propagation steps, exiting early when every
     photon has terminated. Keys derive from (key, absolute step), so for a
     FIXED batch layout any resume chunking gives identical histories;
@@ -123,7 +124,7 @@ def run_steps(photons, geometry, key, start_step, nsteps, use_weights=False,
     finish-remaining heuristic alone would otherwise mint a fresh
     10-40 s remote compile for every distinct remaining-step count."""
     return _steps_loop(photons, geometry, key, start_step, nsteps,
-                       use_weights, scatter_first, prune)
+                       use_weights, scatter_first, prune, trav_stages)
 
 
 def _next_pow2(x):
@@ -200,7 +201,7 @@ def _compact_sel(current, bucket):
 
 def _fused_chunk_impl(final_mat, current, orig_idx, geometry, key,
                       start_step, nsteps, bucket, use_weights,
-                      scatter_first, prune):
+                      scatter_first, prune, trav_stages=None):
     """One chunk boundary + next chunk as a SINGLE program: write the
     finished batch back into the packed `final_mat`, compact survivors
     into `bucket` lanes, and run the next `nsteps`. Each separate launch
@@ -214,7 +215,7 @@ def _fused_chunk_impl(final_mat, current, orig_idx, geometry, key,
     orig_idx = orig_idx[sel]
     current, steps_done, alive = _steps_loop(
         current, geometry, key, start_step, nsteps, use_weights,
-        scatter_first, prune)
+        scatter_first, prune, trav_stages)
     return final_mat, current, orig_idx, steps_done, alive
 
 
@@ -223,7 +224,7 @@ def _fused_chunk_impl(final_mat, current, orig_idx, geometry, key,
 # (see run_steps)
 _fused_chunk_donated = jax.jit(
     _fused_chunk_impl,
-    static_argnames=('bucket', 'use_weights', 'prune'),
+    static_argnames=('bucket', 'use_weights', 'prune', 'trav_stages'),
     donate_argnums=(0,))
 
 
@@ -376,7 +377,8 @@ def _tune_schedule(n, boundary_steps, alive_counts, max_steps):
 
 
 def _fused_bomb_impl(photons, geometry, key, schedule, max_steps,
-                     use_weights, scatter_first, prune, report=False):
+                     use_weights, scatter_first, prune, report=False,
+                     trav_stages=None):
     """The whole bomb as one traced program (see module comment above).
     With report=True additionally returns the alive count after each
     stage's bounded loop (stacked i32) — the probe bomb's survival curve
@@ -389,12 +391,13 @@ def _fused_bomb_impl(photons, geometry, key, schedule, max_steps,
         if not sched or start >= max_steps:
             ph, _, _ = _steps_loop(ph, geometry, skey, start,
                                    max_steps - start, use_weights,
-                                   scatter_first, prune)
+                                   scatter_first, prune, trav_stages)
             return ph
         nsteps = min(sched[0][0], max_steps - start)
         div = sched[0][1]
         ph, _, alive = _steps_loop(ph, geometry, skey, start, nsteps,
-                                   use_weights, scatter_first, prune)
+                                   use_weights, scatter_first, prune,
+                                   trav_stages)
         if report and salt == 0:
             counts.append(alive)
         start2 = start + nsteps
@@ -411,7 +414,8 @@ def _fused_bomb_impl(photons, geometry, key, schedule, max_steps,
         # loop exits immediately when the suffix is all dead
         suffix, _, _ = _steps_loop(
             suffix, geometry, jax.random.fold_in(skey, 0x5F3759DF),
-            start2, max_steps - start2, use_weights, scatter_first, prune)
+            start2, max_steps - start2, use_weights, scatter_first, prune,
+            trav_stages)
         php = jax.tree_util.tree_map(
             lambda a, b: jnp.concatenate([a, b], axis=0), prefix, suffix)
         return _ps_take(php, dest)
@@ -437,7 +441,7 @@ def _ps_compact_perm(active):
 _fused_bomb = jax.jit(
     _fused_bomb_impl,
     static_argnames=('schedule', 'max_steps', 'use_weights',
-                     'scatter_first', 'prune', 'report'))
+                     'scatter_first', 'prune', 'report', 'trav_stages'))
 
 
 USE_FUSED = os.environ.get('CHROMA_FUSED', '1') != '0'
@@ -447,6 +451,59 @@ USE_FUSED = os.environ.get('CHROMA_FUSED', '1') != '0'
 # geometry object is collected can only mis-tune a later geometry that
 # reuses the address (perf noise, never correctness).
 _SCHED_CACHE = {}
+
+# per-geometry tuned traversal restart-staging specs (see _tune_stages)
+_STAGE_CACHE = {}
+
+
+def _tune_stages(photons, geometry, key, use_weights, scatter_first,
+                 prune):
+    """Probe the geometry's traversal visit-count distribution and derive
+    a restart-staging spec for intersect_mesh_instanced.
+
+    The lockstep traversal loop runs to the MAX visit count over the
+    batch; on large instanced detectors the survivor-ray distribution is
+    heavy-tailed (headline detector: mean 28, p90 36, max 205 — the
+    whole batch pays 205), while compact detectors are tight (demo
+    detector: max ~60) and staging only adds boundary cost. A one-step
+    pilot on a 64k slice + a counted traversal of its survivors decides:
+    no deep tail -> no stages; deep tail -> compact at ~p90 and again at
+    ~2x p90, divisor 4 each."""
+    from chroma_tpu.ops.mesh_wide import traversal_visits
+
+    n = len(photons)
+    m = min(n, 1 << 16)
+    pilot = jax.tree_util.tree_map(lambda a: a[:m], photons)
+    stepped, _, alive = run_steps(pilot, geometry, key, 0, 1,
+                                  use_weights=use_weights,
+                                  scatter_first=scatter_first,
+                                  prune=prune, trav_stages=())
+    n_alive = int(alive)
+    if n_alive < 512:
+        return ()
+    _, perm = _ps_compact_perm(stepped.alive)
+    packed = _ps_take(stepped, perm)
+    k = min(m, 1 << 15)
+    sub = jax.tree_util.tree_map(lambda a: a[:k], packed)
+    v, _, _ = traversal_visits(sub.pos, sub.dir, geometry.wide,
+                               sub.last_hit_triangle, mask=sub.alive)
+    v = np.asarray(v)[:min(n_alive, k)]
+    p90 = float(np.percentile(v, 90))
+    vmax = float(v.max())
+    if vmax <= max(2.5 * p90, 64.0):
+        return ()
+    s1 = int(2 * np.ceil(p90 / 2))
+    return ((s1, 4), (2 * s1, 4))
+
+
+def stages_for(geometry):
+    """The traversal restart-staging spec propagate() will use for this
+    geometry: the env override, the probe-tuned entry, or None (pilot
+    not yet run -> per-width env default inside the traversal)."""
+    spec = os.environ.get('CHROMA_TRAV_STAGES')
+    if spec is not None:
+        return _parse_schedule(spec)
+    return _STAGE_CACHE.get(id(geometry))
 
 
 def schedule_for(geometry, n, max_steps=100):
@@ -485,6 +542,24 @@ def propagate(photons, geometry, key, max_steps=100, use_weights=False,
     if (USE_FUSED and compact and not track_steps
             and isinstance(scatter_first, int)):
         ck = (id(geometry), n)
+        stages = stages_for(geometry)
+        if stages is None:
+            # measured dead end (docs/design.md): the visit-distribution
+            # pilot halved headline throughput (168k vs 354k photons/s) —
+            # restarted tail lanes have weak best_d bounds, so the
+            # root re-walk costs about what it saves. Opt-in only.
+            from chroma_tpu.bvh.wide import InstancedBVH
+            if (os.environ.get('CHROMA_TRAV_STAGE_PILOT') == '1'
+                    and n >= (1 << 17)
+                    and isinstance(getattr(geometry, 'wide', None),
+                                   InstancedBVH)):
+                with profiler.region('propagate.stage_pilot'):
+                    stages = _tune_stages(photons, geometry, key,
+                                          bool(use_weights),
+                                          int(scatter_first), prune)
+                _STAGE_CACHE[id(geometry)] = stages
+            else:
+                stages = ()
         env = os.environ.get('CHROMA_FUSED_SCHEDULE')
         if env is not None:
             sched = _trim_schedule(_parse_schedule(env), n)
@@ -494,7 +569,8 @@ def propagate(photons, geometry, key, max_steps=100, use_weights=False,
             with profiler.region('propagate.fused[n=%d]' % n):
                 result = _fused_bomb(photons, geometry, key, sched,
                                      int(max_steps), bool(use_weights),
-                                     int(scatter_first), prune)
+                                     int(scatter_first), prune,
+                                     trav_stages=stages)
         else:
             # first bomb on this (geometry, batch): run the conservative
             # probe schedule, reporting the alive count at every stage
@@ -505,7 +581,7 @@ def propagate(photons, geometry, key, max_steps=100, use_weights=False,
                 result, counts = _fused_bomb(
                     photons, geometry, key, probe, int(max_steps),
                     bool(use_weights), int(scatter_first), prune,
-                    report=True)
+                    report=True, trav_stages=stages)
             counts = np.asarray(counts)
             bsteps = _boundary_steps(probe, int(max_steps))
             _SCHED_CACHE[ck] = _tune_schedule(
@@ -517,6 +593,7 @@ def propagate(photons, geometry, key, max_steps=100, use_weights=False,
 
     # everything below stays device-resident: the only per-chunk host
     # traffic is the 4-byte alive count
+    stages = stages_for(geometry) or ()   # no pilot on the tracking path
     orig_idx = jnp.arange(n)
     final_mat = _ps_pack_jit(photons)
     tracking = []
@@ -545,7 +622,8 @@ def propagate(photons, geometry, key, max_steps=100, use_weights=False,
                 current, _, alive = run_steps(
                     current, geometry, key, step, nsteps,
                     use_weights=use_weights,
-                    scatter_first=scatter_first, prune=prune)
+                    scatter_first=scatter_first, prune=prune,
+                    trav_stages=stages)
                 n_alive = int(alive)
         else:
             # few survivors: finish their remaining steps in one launch
@@ -563,7 +641,7 @@ def propagate(photons, geometry, key, max_steps=100, use_weights=False,
                         _fused_chunk_donated(
                             final_mat, current, orig_idx, geometry, key,
                             step, nsteps, bucket, use_weights,
-                            scatter_first, prune)
+                            scatter_first, prune, stages)
                     n_alive = int(alive)
             else:
                 with profiler.region('propagate.chunk[n=%d]'
@@ -571,7 +649,8 @@ def propagate(photons, geometry, key, max_steps=100, use_weights=False,
                     current, _, alive = run_steps(
                         current, geometry, key, step, nsteps,
                         use_weights=use_weights,
-                        scatter_first=scatter_first, prune=prune)
+                        scatter_first=scatter_first, prune=prune,
+                        trav_stages=stages)
                     n_alive = int(alive)
 
         step += nsteps

@@ -40,21 +40,35 @@ PALLAS_VISIT = os.environ.get('CHROMA_PALLAS_VISIT', 'auto')
 
 
 def tile_rows(n):
-    """Sublane-tile rows for an n-lane batch: TB when it divides, else
-    the largest power-of-two tile that does. Keeps the kernel enabled
-    for the small compaction buckets the fused driver spends the
-    survival TAIL in (a 2k-lane bucket would otherwise fall back to the
+    """Sublane-tile rows for an n-lane batch: the largest tb <= TB that
+    divides n/128 AND is a multiple of 8 (Mosaic requires the
+    second-minor block dim divisible by 8 unless the block spans the
+    whole array). Odd row counts (non-power-of-two restart-staging
+    slices) fall back to ONE whole-array block — enabled() rejects that
+    fallback when it would exceed VMEM. Keeps the kernel enabled for the
+    small compaction buckets the fused driver spends the survival TAIL
+    in (a 2k-lane bucket would otherwise fall back to the
     ~200-HBM-stream jnp body for ~50 steps x ~30 visits)."""
-    tb = min(TB, max(n // 128, 1))
-    while tb > 1 and n % (tb * 128) != 0:
+    nb = max(n // 128, 1)
+    tb = min(TB, nb)
+    while tb >= 8 and nb % tb != 0:
         tb //= 2
-    return tb
+    if tb >= 8:
+        return tb
+    return nb   # single whole-array block
 
 
 def enabled(n):
     if PALLAS_VISIT == '0':
         return False
-    if n % 128 != 0 or n % (tile_rows(n) * 128) != 0:
+    if n % 128 != 0:
+        return False
+    nb = n // 128
+    tb = tile_rows(n)
+    # whole-array fallback blocks only fit VMEM while small
+    if tb == nb and (tb % 8 != 0 or nb > TB) and nb > 128:
+        return False
+    if nb % tb != 0:
         return False
     if PALLAS_VISIT in ('1', 'force'):
         return True

@@ -105,7 +105,9 @@ def test_staged_compaction_equivalence():
     ref = np.asarray(intersect_mesh_wide(o, d, ga.wide,
                                          two_phase=False)[0])
     old = os.environ.get('CHROMA_TRAV_STAGES')
+    old_min = os.environ.get('CHROMA_TRAV_STAGE_MIN')
     try:
+        os.environ['CHROMA_TRAV_STAGE_MIN'] = '4096'
         for spec in ('4:2,4:4,4:4', '28:4'):
             os.environ['CHROMA_TRAV_STAGES'] = spec
             got = np.asarray(intersect_mesh_wide(o, d, ga.wide)[0])
@@ -115,6 +117,10 @@ def test_staged_compaction_equivalence():
             os.environ.pop('CHROMA_TRAV_STAGES', None)
         else:
             os.environ['CHROMA_TRAV_STAGES'] = old
+        if old_min is None:
+            os.environ.pop('CHROMA_TRAV_STAGE_MIN', None)
+        else:
+            os.environ['CHROMA_TRAV_STAGE_MIN'] = old_min
 
 
 def test_axis_aligned_rays_terminate_and_hit():

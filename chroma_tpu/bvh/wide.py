@@ -659,21 +659,29 @@ def build_instanced_bvh(instances, fanout=None, leaf_size=LEAF_SIZE,
     blas = [_blas_rows(m, fanout, leaf_size, width, sah_threshold, c,
                        packed=packed)
             for m, c in zip(unique, unique_codes)]
-    local_lo = [m.vertices.min(axis=0).astype(np.float32) for m in unique]
-    local_hi = [m.vertices.max(axis=0).astype(np.float32) for m in unique]
-
-    # instance world AABBs: transform the 8 local corners
+    # instance world AABBs — EXACT (min/max over the transformed mesh
+    # vertices, chunked), not the rotated local-AABB corners: corner
+    # boxes of inward-pointing PMTs overlap their neighbors, and the
+    # extra TLAS descents cost ~14% of all traversal visits at the
+    # 29k-PMT scale (host-replay measured; docs/design.md). A convex
+    # hull would shrink the vertex sets further but plain min/max is
+    # already < 1 s per thousand instances.
     n_inst = len(inst)
     ilo = np.empty((n_inst, 3), np.float32)
     ihi = np.empty((n_inst, 3), np.float32)
-    for i, (mi, r_w2l, disp, _) in enumerate(inst):
-        lo, hi = local_lo[mi], local_hi[mi]
-        cs = np.array([(x, y, z) for x in (lo[0], hi[0])
-                       for y in (lo[1], hi[1])
-                       for z in (lo[2], hi[2])], np.float32)
-        wc = cs @ r_w2l + disp     # (Rᵀ)ᵀ = R: local->world
-        ilo[i] = wc.min(axis=0)
-        ihi[i] = wc.max(axis=0)
+    rot_all = np.stack([i[1] for i in inst])          # (I,3,3) w2l
+    disp_all = np.stack([i[2] for i in inst])
+    mi_all = np.asarray([i[0] for i in inst])
+    for mi in range(len(unique)):
+        sel = np.flatnonzero(mi_all == mi)
+        verts = unique[mi].vertices.astype(np.float32)
+        for s in range(0, len(sel), 512):
+            blk = sel[s:s + 512]
+            # x_w = R_l2w x_l + disp = x_l @ r_w2l + disp
+            wv = np.einsum('vk,iko->ivo', verts, rot_all[blk],
+                           optimize=True)
+            ilo[blk] = wv.min(axis=1) + disp_all[blk]
+            ihi[blk] = wv.max(axis=1) + disp_all[blk]
 
     # TLAS over instances (one instance per binary leaf)
     bn = _binary_sah_build(ilo, ihi, max_leaf=1)

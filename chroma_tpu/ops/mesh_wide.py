@@ -633,7 +633,7 @@ def _make_body_inst_pallas(inst, rays, world_loc):
 
 
 def _init_inst(inst, origin, direction, last_hit_triangle, mask,
-               best_limit, best_tri0=None, hctx0=None):
+               best_limit):
     "Fresh root-descent (rays, state) for the instanced traversal."
     n = origin.shape[0]
     depth_max = inst.max_depth
@@ -655,8 +655,7 @@ def _init_inst(inst, origin, direction, last_hit_triangle, mask,
     bases0 = jnp.zeros((depth_max, n), dtype=jnp.int32) + izero[None, :]
     # masks carried i32 (kernel state layout; see _ctz32_i32)
     masks0 = jnp.zeros((depth_max, n), dtype=jnp.int32) + izero[None, :]
-    if best_tri0 is None:
-        best_tri0 = izero - 1
+    best_tri0 = izero - 1
     best_d0 = fzero + jnp.inf
     if best_limit is not None:
         best_d0 = best_limit
@@ -667,32 +666,34 @@ def _init_inst(inst, origin, direction, last_hit_triangle, mask,
     # finite flags as f32 0/1 (kernel state layout)
     loc0 = cols[0] + cols[1] + cols[2] + cols[3] \
         + tuple(fc.astype(jnp.float32) for fc in cols[4])
-    if hctx0 is None:
-        hctx0 = (izero, fzero, fzero, fzero, izero)  # code, normal, iid
+    hctx0 = (izero, fzero, fzero, fzero, izero)   # code, normal, iid
     state = (cur0, depth0, bases0, masks0, best_tri0, best_d0,
              loc0, izero + IBIG, izero, izero, hctx0)
     return rays, state
 
 
-def _restart_staged_inst(inst, rays, state, stages):
-    """Instanced traversal with RESTART tail compaction.
+def _staged_inst(inst, rays, state, stages):
+    """Instanced traversal with CARRIED-STATE tail compaction.
 
-    Each stage runs the lockstep loop for a bounded number of visits;
-    the still-walking minority is then front-packed into a static
-    1/div slice and RESTARTED from the root with its accumulated
-    (best_tri, best_d, hit context) carried over — the tightened best_d
-    plus nearest-first descent prunes the re-walk to ~one mean-visit
-    cost, so no stack/mask state needs to move. The boundary is ten 1-D
-    gathers + five 1-D scatters: a packed 2-D lane move here (the
-    previous _staged_query approach) materializes (N, 1) minor-padded
-    remat buffers inside the step while_loop — 512 MB each at 1M lanes,
-    an instant HBM OOM at headline scale.
+    The lockstep loop pays the MAX visit count over the batch, but the
+    distribution is heavy-tailed (headline detector, mid-propagation
+    steps: mean 24-36 visits, p99 45-76, max 140-205 — a 4-6x waste at
+    full width). Each stage runs the loop for a bounded number of
+    visits, then front-packs the still-walking minority — rays, stacks,
+    local-frame registers, everything — into a static 1/div prefix
+    slice and continues there. The whole move is ONE fat-row gather of
+    a stack-major-packed (N, C) matrix (~4 ns/row) plus seven result
+    scatters on the way back; per-leaf 1-D moves measure 8-15 ns/row
+    PER ARRAY and would cost more than the tail itself.
 
-    Analog of the reference's warp-level traversal re-convergence
-    (reference: chroma/cuda/mesh.h:45-126 node-stack loop); the restart
-    trick has no CUDA counterpart — it exploits best-d pruning to make
-    compaction nearly stateless on a vector machine.
-    """
+    The alternative RESTART staging (re-walk from the root with carried
+    best_d, no state movement) measured 2.1x WORSE end-to-end at
+    headline scale: the tail lanes are exactly the ones with weak
+    best_d bounds, so the pruned re-walk costs nearly a full walk.
+
+    Analog of the reference's persistent-threads work queue
+    (reference: chroma/cuda/mesh.h:45-126 walks per-thread and pays no
+    convergence tax; a vector machine has to compact instead)."""
     n = rays[0].shape[0]
     unroll = _unroll_for(n)
     body = _unrolled(_make_body_inst(inst, rays), n, unroll)
@@ -713,41 +714,42 @@ def _restart_staged_inst(inst, rays, state, stages):
     _, state = jax.lax.while_loop(cond1, body1, (0, state))
 
     m = n // div
-    if m < MIN_TWO_PHASE // COMPACT_DIVISOR:
+    if m < MIN_TWO_PHASE // COMPACT_DIVISOR or m % 256:
         return jax.lax.while_loop(_any_active, body, state)
 
     origin, direction, _inv, _neg, _fin, last_hit = rays
 
     def boundary(state):
         cur = state[0]
-        active = cur >= 0
-        _, perm = _compact_perm(active)
+        _, perm = _compact_perm(cur >= 0)
         sel = perm[:m]
 
-        act_s = active[sel]
-        hctx = state[10]
-        rays_s, state_s = _init_inst(
-            inst, origin[sel], direction[sel], last_hit[sel], act_s,
-            state[5][sel], best_tri0=state[4][sel],
-            hctx0=tuple(h[sel] for h in hctx))
-        state_s = _restart_staged_inst(inst, rays_s, state_s, stages[1:])
+        # one packed fat-row move for rays + full traversal state
+        # (derived ray registers are recomputed at width m, not moved)
+        moved = _take_lanes((origin, direction, last_hit, state),
+                            sel, n)
+        o_s, d_s, last_s, state_s = moved
+        inv_s = 1.0 / d_s
+        rays_s = (o_s, d_s, inv_s, -o_s * inv_s, jnp.isfinite(inv_s),
+                  last_s)
+        state_s = _staged_inst(inst, rays_s, state_s, stages[1:])
 
-        # merge: the sub-query's result registers win for the moved
-        # lanes (sel is a permutation slice — no duplicate indices;
-        # lanes moved while already finished just write their unchanged
-        # registers back)
+        # merge: only the RESULT registers come back (the moved lanes
+        # are done; sel is a permutation slice so indices are unique —
+        # lanes moved while already finished rewrite their registers
+        # unchanged)
         best_tri = state[4].at[sel].set(state_s[4])
         best_d = state[5].at[sel].set(state_s[5])
         hctx_m = tuple(h.at[sel].set(hs)
-                       for h, hs in zip(hctx, state_s[10]))
+                       for h, hs in zip(state[10], state_s[10]))
         cur = cur.at[sel].set(-1)
         return (cur, state[1], state[2], state[3], best_tri, best_d,
                 state[6], state[7], state[8], state[9], hctx_m)
 
-    # geometries/steps whose visit distribution has no deep tail finish
-    # inside the bounded loop; the cond skips the whole boundary (its
-    # gathers and the sub-query) at runtime in that case, so generous
-    # stage specs cost nothing where they don't pay
+    # traversals whose visit distribution has no deep tail finish inside
+    # the bounded loop; the cond skips the whole boundary (pack, gather
+    # and sub-query) at runtime in that case, so generous stage specs
+    # cost nothing where they don't pay
     state = jax.lax.cond(_any_active(state), boundary, lambda s: s, state)
 
     # overflow lanes (survivors beyond the slice — rare by construction)
@@ -763,9 +765,9 @@ def intersect_mesh_instanced(origin, direction, inst,
     intersect_mesh_wide; returned triangle ids index the flattened soup.
     The want_context normal is in the winning instance's LOCAL frame.
 
-    `stages`: restart-staging spec ((visits, divisor), ...) — explicit
-    (probe-tuned by chroma_tpu.ops.propagate) or, when None, the
-    CHROMA_TRAV_STAGES env spec gated to widths where per-iteration
+    `stages`: carried-state staging spec ((visits, divisor), ...) —
+    explicit (probe-tuned by chroma_tpu.ops.propagate) or, when None,
+    the CHROMA_TRAV_STAGES env spec gated to widths where per-iteration
     cost still scales with lane count (below ~64k lanes the while_loop
     iteration floor dominates and compaction cannot reduce the
     iteration count — the tail lane still walks)."""
@@ -780,7 +782,7 @@ def intersect_mesh_instanced(origin, direction, inst,
         body = _unrolled(_make_body_inst(inst, rays), n)
         state = jax.lax.while_loop(_any_active, body, state)
     else:
-        state = _restart_staged_inst(inst, rays, state, stages)
+        state = _staged_inst(inst, rays, state, stages)
     if want_context:
         return _context_result(state[4], state[5], state[10][:4],
                                state[10][4])
@@ -888,35 +890,46 @@ def _lane_axis(a, n):
 # packed relayout + one fat-row gather costs ~10-30 ms.
 
 def _pack_lanes(tree, n):
-    "Tree -> ((N, C) f32 matrix, leaf prototypes, treedef)."
+    """Tree -> ((N, C) f32 matrix, leaf prototypes, treedef).
+
+    Assembled MAJOR-axis first — (N,) leaves reshape to (1, N) for free,
+    (D, N) stacks concatenate as-is — then transposed ONCE. The previous
+    minor-axis concat of (N, 1) slices materialized lane-padded (N, 128)
+    tiles per leaf under rematerialization inside step loops: 512 MB per
+    leaf at 1M lanes, an instant OOM at headline scale."""
     leaves, treedef = jax.tree_util.tree_flatten(tree)
-    cols = []
+    blocks = []
     for a in leaves:
-        c = a[:, None] if a.ndim == 1 else \
-            (a if _lane_axis(a, n) == 0 else a.T)
-        if c.dtype == jnp.bool_:
-            c = c.astype(jnp.float32)
-        elif c.dtype != jnp.float32:
-            c = jax.lax.bitcast_convert_type(c, jnp.float32)
-        cols.append(c)
-    return jnp.concatenate(cols, axis=1), leaves, treedef
+        if a.ndim == 1:
+            b = a.reshape(1, n)
+        elif _lane_axis(a, n) == 0:
+            b = a.T
+        else:
+            b = a
+        if b.dtype == jnp.bool_:
+            b = b.astype(jnp.float32)
+        elif b.dtype != jnp.float32:
+            b = jax.lax.bitcast_convert_type(b, jnp.float32)
+        blocks.append(b)
+    return jnp.concatenate(blocks, axis=0).T, leaves, treedef
 
 
 def _unpack_lanes(mat, leaves, treedef, n):
     "Inverse of _pack_lanes at a (possibly smaller) lane count."
+    matT = mat.T
     out = []
     c = 0
     for a in leaves:
         w = 1 if a.ndim == 1 else a.shape[1 - _lane_axis(a, n)]
-        sl = mat[:, c:c + w]
+        sl = matT[c:c + w]
         c += w
         if a.dtype == jnp.bool_:
             sl = sl > 0.5
         elif a.dtype != jnp.float32:
             sl = jax.lax.bitcast_convert_type(sl, a.dtype)
         if a.ndim == 1:
-            sl = sl[:, 0]
-        elif _lane_axis(a, n) == 1:
+            sl = sl[0]
+        elif _lane_axis(a, n) == 0:
             sl = sl.T
         out.append(sl)
     return jax.tree_util.tree_unflatten(treedef, out)

@@ -241,10 +241,21 @@ def _emit(metrics):
 
 
 def _write_extra(extra):
+    """Merge-write BENCH_EXTRA.json: a quick-only or partially-failed run
+    must never erase a previously completed config's entry."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        'BENCH_EXTRA.json')
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               'BENCH_EXTRA.json'), 'w') as f:
-            json.dump(extra, f, indent=1)
+        merged = {}
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    merged = json.load(f)
+            except Exception:
+                merged = {}
+        merged.update(extra)
+        with open(path, 'w') as f:
+            json.dump(merged, f, indent=1)
     except Exception:
         pass
 

@@ -54,7 +54,9 @@ def build_arrays(quick=False):
     apath = os.path.join(cache_dir, base + '-arrays')
 
     t0 = time.time()
-    ga = load_geometry_arrays(apath)
+    # lean: skip the O(triangles) soup arrays — unused by the hot paths
+    # and ~2 min of device upload through the tunnel at quick scale
+    ga = load_geometry_arrays(apath, lean=True)
     if ga is not None:
         print('# loaded cached geometry arrays in %.1fs'
               % (time.time() - t0), file=sys.stderr)

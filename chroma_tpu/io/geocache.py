@@ -88,8 +88,21 @@ def save_geometry_arrays(path, ga):
         json.dump(meta, f)
 
 
-def load_geometry_arrays(path):
-    "Load a GeometryArrays saved by save_geometry_arrays (or None)."
+# the O(triangles) world-frame "soup" fields; redundant with the lean
+# per-instance arrays (`ga.inst`) on every hot path (traversal, physics,
+# DAQ) — only dense viewer/render consumers touch them
+_SOUP_KEYS = ('ga.vertices', 'ga.triangles', 'ga.tri_normals',
+              'ga.material_codes', 'ga.colors', 'ga.solid_id')
+
+
+def load_geometry_arrays(path, lean=False):
+    """Load a GeometryArrays saved by save_geometry_arrays (or None).
+
+    With lean=True, an instanced geometry's monolithic soup arrays are
+    dropped BEFORE jnp conversion: device transfer through the remote
+    TPU tunnel costs ~0.7 s per 1 MB of geometry (measured 122 s for a
+    167 MB dense cache), so skipping the unused-by-the-hot-path soup is
+    the difference between a <5 s and a ~2 min benchmark start."""
     if not (os.path.exists(path + '.npz')
             and os.path.exists(path + '.json')):
         return None
@@ -99,4 +112,8 @@ def load_geometry_arrays(path):
         return None
     with np.load(path + '.npz') as zf:
         arrays = {k: zf[k] for k in zf.files}
+    if lean and 'ga.inst.__class__' in meta:
+        for k in _SOUP_KEYS:
+            arrays.pop(k, None)
+            meta[k] = None
     return _unflatten('ga', arrays, meta, _registry(), True)

@@ -327,17 +327,9 @@ def _boundary_steps(sched, max_steps):
     return out
 
 
-def _tune_schedule(n, boundary_steps, alive_counts, max_steps):
-    """Derive a compaction schedule from a measured survival curve
-    ((step, alive-fraction) points from a probe bomb): at each stage,
-    compact to the smallest power-of-two-divided width that still holds
-    MARGIN x the expected survivors — overflow spills into a bounded
-    full-suffix mop-up loop, which is correct but slow, so the margin
-    errs conservative. Spans follow a doubling pattern (the survival
-    tail flattens, so later stages run longer between compactions)."""
-    if not len(alive_counts):
-        return ()
-    margin = 1.3
+def _survival_fn(n, boundary_steps, alive_counts):
+    """Geometric interpolation of a probe bomb's measured survival curve
+    ((step, alive count) points) -> alive_fraction(step)."""
     pts = [(0, 1.0)]
     for s, a in zip(boundary_steps, alive_counts):
         pts.append((s, max(float(a) / n, 0.25 / n)))
@@ -353,6 +345,22 @@ def _tune_schedule(n, boundary_steps, alive_counts, max_steps):
         (s0, f0), (s1, f1) = pts[-2], pts[-1]
         rate = min((f1 / f0) ** (1.0 / max(s1 - s0, 1)), 0.97)
         return f1 * rate ** (step - s1)
+
+    return alive_at
+
+
+def _tune_schedule(n, boundary_steps, alive_counts, max_steps):
+    """Derive a compaction schedule from a measured survival curve
+    ((step, alive-fraction) points from a probe bomb): at each stage,
+    compact to the smallest power-of-two-divided width that still holds
+    MARGIN x the expected survivors — overflow spills into a bounded
+    full-suffix mop-up loop, which is correct but slow, so the margin
+    errs conservative. Spans follow a doubling pattern (the survival
+    tail flattens, so later stages run longer between compactions)."""
+    if not len(alive_counts):
+        return ()
+    margin = 1.3
+    alive_at = _survival_fn(n, boundary_steps, alive_counts)
 
     sched = []
     width, cursor, span = n, 0, 1
@@ -376,28 +384,56 @@ def _tune_schedule(n, boundary_steps, alive_counts, max_steps):
     return tuple(sched)
 
 
+def _per_stage_specs(trav_stages):
+    """Normalize a trav_stages static arg: either ONE flat traversal
+    spec ((visits, div), ...) applied at every fused stage, or a
+    per-stage tuple of such specs (one per fused-schedule stage, last
+    entry reused for the tail) — distinguished by nesting depth."""
+    if not trav_stages:
+        return None
+    if isinstance(trav_stages[0], tuple) and (
+            trav_stages[0] == () or isinstance(trav_stages[0][0], tuple)):
+        return trav_stages          # already per-stage
+    return (trav_stages,)           # flat spec -> same at every stage
+
+
 def _fused_bomb_impl(photons, geometry, key, schedule, max_steps,
                      use_weights, scatter_first, prune, report=False,
                      trav_stages=None):
     """The whole bomb as one traced program (see module comment above).
     With report=True additionally returns the alive count after each
     stage's bounded loop (stacked i32) — the probe bomb's survival curve
-    for _tune_schedule, read back only after the program completes."""
+    for _tune_schedule, read back only after the program completes.
+
+    trav_stages may be one flat traversal staging spec or a PER-STAGE
+    tuple of specs: each fused-schedule stage's population has a
+    different visit-count tail (survivors walk longer the deeper the
+    propagation — headline detector: frac(v>40) is 0.02% of step-0 rays
+    but 32% of step-5 survivors), so each compaction bucket gets its own
+    boundary."""
     counts = []
+    specs = _per_stage_specs(trav_stages)
+    nstages = len(schedule)
+
+    def spec_at(k):
+        if specs is None:
+            return trav_stages      # None or () verbatim
+        return specs[min(k, len(specs) - 1)]
 
     def stage(ph, start, sched, salt):
         n = len(ph)
+        k = nstages - len(sched)
         skey = jax.random.fold_in(key, salt) if salt else key
         if not sched or start >= max_steps:
             ph, _, _ = _steps_loop(ph, geometry, skey, start,
                                    max_steps - start, use_weights,
-                                   scatter_first, prune, trav_stages)
+                                   scatter_first, prune, spec_at(k))
             return ph
         nsteps = min(sched[0][0], max_steps - start)
         div = sched[0][1]
         ph, _, alive = _steps_loop(ph, geometry, skey, start, nsteps,
                                    use_weights, scatter_first, prune,
-                                   trav_stages)
+                                   spec_at(k))
         if report and salt == 0:
             counts.append(alive)
         start2 = start + nsteps
@@ -415,7 +451,7 @@ def _fused_bomb_impl(photons, geometry, key, schedule, max_steps,
         suffix, _, _ = _steps_loop(
             suffix, geometry, jax.random.fold_in(skey, 0x5F3759DF),
             start2, max_steps - start2, use_weights, scatter_first, prune,
-            trav_stages)
+            spec_at(k + 1))
         php = jax.tree_util.tree_map(
             lambda a, b: jnp.concatenate([a, b], axis=0), prefix, suffix)
         return _ps_take(php, dest)
@@ -452,48 +488,124 @@ USE_FUSED = os.environ.get('CHROMA_FUSED', '1') != '0'
 # reuses the address (perf noise, never correctness).
 _SCHED_CACHE = {}
 
-# per-geometry tuned traversal restart-staging specs (see _tune_stages)
+# per-geometry tuned traversal staging specs (see _tune_stages)
 _STAGE_CACHE = {}
+
+# per-geometry visit distributions measured by the pilot (depth -> np
+# visits array), consumed by _tune_stage_specs after the schedule probe
+_DIST_CACHE = {}
+
+# per-(geometry, batch) PER-FUSED-STAGE traversal specs
+_PSTAGE_CACHE = {}
 
 
 def _tune_stages(photons, geometry, key, use_weights, scatter_first,
                  prune):
     """Probe the geometry's traversal visit-count distribution and derive
-    a restart-staging spec for intersect_mesh_instanced.
+    a CARRIED-STATE staging spec for intersect_mesh_instanced.
 
     The lockstep traversal loop runs to the MAX visit count over the
-    batch; on large instanced detectors the survivor-ray distribution is
-    heavy-tailed (headline detector: mean 28, p90 36, max 205 — the
-    whole batch pays 205), while compact detectors are tight (demo
-    detector: max ~60) and staging only adds boundary cost. A one-step
-    pilot on a 64k slice + a counted traversal of its survivors decides:
-    no deep tail -> no stages; deep tail -> compact at ~p90 and again at
-    ~2x p90, divisor 4 each."""
-    from chroma_tpu.ops.mesh_wide import traversal_visits
+    batch; on large instanced detectors the distribution is heavy-tailed
+    (headline detector, mid-propagation: mean 24-36 visits, p99 45-76,
+    max 205 — the whole batch pays 205), while compact detectors are
+    tight (demo detector: max ~60) and staging only adds boundary cost.
 
+    A pilot on a 64k slice measures the visit distribution at several
+    propagation DEPTHS (0, 1, 3, 7, 15 steps), because the populations
+    differ sharply: a photon bomb's step-0 rays all leave from one
+    point and finish together (headline: max 43 visits), while deep
+    survivors are the scattered/reflected minority that walks longest
+    (headline: frac(v>40) is 0.02% at step 0 but 32% among step-5
+    survivors). The distributions are stored for the per-fused-stage
+    tuner (_tune_stage_specs); the flat spec returned here — used for
+    the probe bomb and the chunked driver — is the earliest boundary b
+    where EVERY measured population's still-walking fraction times a 4x
+    safety margin fits a 1/16 slice. Overflow past the slice finishes
+    at FULL width, so an optimistic boundary is catastrophic (measured
+    at headline scale: boundary 40 tuned from shallow populations alone
+    gives 621k photons/s, 48 gives 808k, unstaged 431k). No staging
+    unless a deep tail (>=24 visits) remains past b."""
     n = len(photons)
     m = min(n, 1 << 16)
     pilot = jax.tree_util.tree_map(lambda a: a[:m], photons)
-    stepped, _, alive = run_steps(pilot, geometry, key, 0, 1,
+    k = min(m, 1 << 15)
+    dists = {0: _visit_sample(pilot, geometry, k, m)}
+
+    cur, depth = pilot, 0
+    for target in (1, 3, 7, 15):
+        cur, _, alive = run_steps(cur, geometry, key, depth,
+                                  target - depth,
                                   use_weights=use_weights,
                                   scatter_first=scatter_first,
                                   prune=prune, trav_stages=())
-    n_alive = int(alive)
-    if n_alive < 512:
+        depth = target
+        n_alive = int(alive)
+        if n_alive < 512:
+            break
+        _, perm = _ps_compact_perm(cur.alive)
+        cur = _ps_take(cur, perm)
+        dists[depth] = _visit_sample(cur, geometry, k, n_alive)
+    _DIST_CACHE[id(geometry)] = dists
+
+    div, margin = 16, 4.0
+    # flat spec: satisfy the shallow populations (the probe bomb's
+    # large-width stages) with a wide margin — the flat spec also runs
+    # at the deep buckets whose tails are 10-40x heavier, and the
+    # measured flat-spec ladder at headline scale peaks at the boundary
+    # this margin selects (b=48: 808k photons/s; 40: 622k; 56: 749k;
+    # 64: 700k). Depth>=3 tails are the per-stage tuner's job.
+    pops = [v for d, v in dists.items() if d <= 1]
+    vmax = int(max(v.max() for v in pops))
+    for b in range(8, vmax, 8):
+        if all(float(np.mean(v > b)) * margin <= 1.0 / div
+               for v in pops):
+            break
+    else:
         return ()
-    _, perm = _ps_compact_perm(stepped.alive)
-    packed = _ps_take(stepped, perm)
-    k = min(m, 1 << 15)
-    sub = jax.tree_util.tree_map(lambda a: a[:k], packed)
+    if vmax - b < 24:          # tail too shallow to pay the boundary
+        return ()
+    return ((b, div),)
+
+
+def _visit_sample(photons, geometry, k, n_valid):
+    "Visit counts of the first min(k, n_valid) lanes (np array)."
+    from chroma_tpu.ops.mesh_wide import traversal_visits
+    sub = jax.tree_util.tree_map(lambda a: a[:k], photons)
     v, _, _ = traversal_visits(sub.pos, sub.dir, geometry.wide,
                                sub.last_hit_triangle, mask=sub.alive)
-    v = np.asarray(v)[:min(n_alive, k)]
-    p90 = float(np.percentile(v, 90))
-    vmax = float(v.max())
-    if vmax <= max(2.5 * p90, 64.0):
-        return ()
-    s1 = int(2 * np.ceil(p90 / 2))
-    return ((s1, 4), (2 * s1, 4))
+    return np.asarray(v)[:min(n_valid, k)]
+
+
+def _tune_stage_specs(n, sched, max_steps, dists, flat_spec):
+    """Per-fused-stage traversal staging specs.
+
+    Measured at headline scale (29k instances, 1M photons): a modeled
+    "no overflow anywhere" assignment that raises the boundary where a
+    bucket's tail is heavy ((32,56,56,64) per bucket) gives 727k
+    photons/s — WORSE than the flat boundary everywhere (828k), because
+    mild overflow into the full-width mop-up is cheaper than the extra
+    full-width visits every non-tail lane pays. The one bucket where a
+    custom boundary wins is the FIRST: its population is exactly the
+    depth-0 source rays (typically tight for a point source — headline
+    max 43 visits, zero lanes past 48), so it can compact much earlier
+    than the flat boundary chosen for the deeper survivor populations.
+    (32, flat, flat, ...) measures 846k photons/s. So: stage 0 gets the
+    earliest boundary holding 2x its own walkers, every later stage
+    reuses the flat spec."""
+    if not dists or 0 not in dists or not flat_spec:
+        return None
+    v0 = dists[0]
+    div, margin = 16, 2.0
+    flat_b = flat_spec[0][0]
+    b0 = None
+    for b in range(8, flat_b, 8):
+        if float(np.mean(v0 > b)) * margin <= 1.0 / div:
+            b0 = b
+            break
+    if b0 is None:
+        return None              # stage 0 can't beat the flat boundary
+    specs = [((b0, div),)] + [flat_spec] * len(sched)
+    return tuple(specs)
 
 
 def stages_for(geometry):
@@ -544,12 +656,13 @@ def propagate(photons, geometry, key, max_steps=100, use_weights=False,
         ck = (id(geometry), n)
         stages = stages_for(geometry)
         if stages is None:
-            # measured dead end (docs/design.md): the visit-distribution
-            # pilot halved headline throughput (168k vs 354k photons/s) —
-            # restarted tail lanes have weak best_d bounds, so the
-            # root re-walk costs about what it saves. Opt-in only.
+            # the visit-distribution pilot tunes CARRIED-STATE staging
+            # (default on; CHROMA_TRAV_STAGE_PILOT=0 disables). Measured
+            # at headline scale: tuned (48,16) staging 821k photons/s vs
+            # 354k unstaged — the lockstep loop otherwise pays the max
+            # visit count (205) while p99 is ~50.
             from chroma_tpu.bvh.wide import InstancedBVH
-            if (os.environ.get('CHROMA_TRAV_STAGE_PILOT') == '1'
+            if (os.environ.get('CHROMA_TRAV_STAGE_PILOT', '1') != '0'
                     and n >= (1 << 17)
                     and isinstance(getattr(geometry, 'wide', None),
                                    InstancedBVH)):
@@ -566,11 +679,19 @@ def propagate(photons, geometry, key, max_steps=100, use_weights=False,
         else:
             sched = _SCHED_CACHE.get(ck)
         if sched is not None:
+            # per-fused-stage traversal specs when tuned (each bucket's
+            # population has a different visit tail); flat spec (env or
+            # pilot) otherwise
+            tstages = None
+            if os.environ.get('CHROMA_TRAV_STAGES') is None:
+                tstages = _PSTAGE_CACHE.get(ck)
+            if tstages is None:
+                tstages = stages
             with profiler.region('propagate.fused[n=%d]' % n):
                 result = _fused_bomb(photons, geometry, key, sched,
                                      int(max_steps), bool(use_weights),
                                      int(scatter_first), prune,
-                                     trav_stages=stages)
+                                     trav_stages=tstages)
         else:
             # first bomb on this (geometry, batch): run the conservative
             # probe schedule, reporting the alive count at every stage
@@ -586,6 +707,10 @@ def propagate(photons, geometry, key, max_steps=100, use_weights=False,
             bsteps = _boundary_steps(probe, int(max_steps))
             _SCHED_CACHE[ck] = _tune_schedule(
                 n, bsteps[:len(counts)], counts, int(max_steps))
+            dists = _DIST_CACHE.get(id(geometry))
+            if dists and _SCHED_CACHE[ck]:
+                _PSTAGE_CACHE[ck] = _tune_stage_specs(
+                    n, _SCHED_CACHE[ck], int(max_steps), dists, stages)
         if bool(_any_aborted(result)):
             from chroma_tpu.log import logger
             logger.warning('ABORTED PHOTONS')

@@ -234,3 +234,54 @@ def test_fanout32_traversal_matches_default():
     assert (np.asarray(t16) == np.asarray(t32)).all()
     assert np.allclose(np.asarray(d16), np.asarray(d32), rtol=1e-5,
                        atol=1e-3, equal_nan=True)
+
+
+@pytest.mark.slow
+def test_per_stage_trav_specs_equivalence():
+    """propagate() with PER-FUSED-STAGE traversal staging specs returns
+    bitwise-identical results to the flat-spec and unstaged runs: with
+    the same compaction schedule the key stream is identical, and
+    traversal staging merges results back in lane order."""
+    import jax
+    from chroma_tpu.ops import propagate as P
+    from chroma_tpu.ops.photon import PhotonState
+    from chroma_tpu.ops.sample import make_key
+
+    geo = _pmt_array_geometry()
+    ga = build_geometry_arrays(geo)
+    n = 16384
+    rng = np.random.default_rng(3)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    pol = np.cross(rng.normal(size=(n, 3)).astype(np.float32), d)
+    pol /= np.linalg.norm(pol, axis=1, keepdims=True)
+    ps = PhotonState(
+        pos=jnp.zeros((n, 3), jnp.float32), dir=jnp.asarray(d),
+        pol=jnp.asarray(pol),
+        wavelength=jnp.asarray(
+            rng.uniform(300, 700, n).astype(np.float32)),
+        t=jnp.zeros(n, jnp.float32), weight=jnp.ones(n, jnp.float32),
+        flags=jnp.zeros(n, jnp.uint32),
+        last_hit_triangle=jnp.full(n, -1, jnp.int32),
+        evidx=jnp.zeros(n, jnp.uint32),
+        cur_mat=jnp.full(n, -1, jnp.int32))
+
+    ck = (id(ga), n)
+    try:
+        P._SCHED_CACHE[ck] = ((2, 2), (4, 2))
+        outs = []
+        for pstages in (None, ((8, 16),),
+                        (((8, 16),), (), ((16, 16),))):
+            if pstages is None:
+                P._PSTAGE_CACHE.pop(ck, None)
+            else:
+                P._PSTAGE_CACHE[ck] = pstages
+            res = P.propagate(ps, ga, make_key(11), max_steps=12)
+            outs.append(jax.device_get(res))
+        for got in outs[1:]:
+            for a, b in zip(jax.tree_util.tree_leaves(outs[0]),
+                            jax.tree_util.tree_leaves(got)):
+                assert (np.asarray(a) == np.asarray(b)).all()
+    finally:
+        P._SCHED_CACHE.pop(ck, None)
+        P._PSTAGE_CACHE.pop(ck, None)

@@ -16,6 +16,7 @@ chroma/gpu/photon.py:226-293). On TPU the equivalent economics are:
 """
 from __future__ import annotations
 
+import math
 import os
 from functools import partial
 
@@ -80,30 +81,51 @@ def photon_state_to_host(state, channel=None):
 
 
 def _steps_loop(photons, geometry, key, start_step, nsteps, use_weights,
-                scatter_first, prune, trav_stages=None):
-    "Shared early-exiting step loop (traced inside the jitted programs)."
+                scatter_first, prune, trav_stages=None, record=0):
+    """Shared early-exiting step loop (traced inside the jitted programs).
+
+    record > 0 (a STATIC count) additionally returns a (record,) i32
+    array of the alive count after each step — the probe bomb's
+    PER-STEP survival curve. The schedule tuner needs every step:
+    interpolating between sparse stage-boundary counts underestimates
+    the survivors mid-stage (decay flattens with depth), and a bucket
+    tuned one step too tight overflows lanes into the un-compacted
+    mop-up loop, which runs them to max_steps at suffix width
+    (measured: one 8k-lane overflow at a 131k suffix cost ~2.3 s of a
+    1.25 s bomb). Entries past an early exit stay 0 (everything dead)."""
     scatter_first = jnp.asarray(scatter_first, dtype=jnp.int32)
 
     def cond(carry):
-        i, ph = carry
+        i, ph = carry[:2]
         return (i < nsteps) & jnp.any(ph.alive)
 
     def body(carry):
-        i, ph = carry
+        i, ph = carry[:2]
         abs_step = start_step + i
         step_key = jax.random.fold_in(key, abs_step)
         sf = jnp.where(abs_step == 0, scatter_first, 0)
         ph = propagate_step(ph, geometry, step_key, use_weights=use_weights,
                             scatter_first=sf, prune=prune,
                             trav_stages=trav_stages)
-        return i + 1, ph
+        if not record:
+            return i + 1, ph
+        counts = carry[2].at[jnp.minimum(i, record - 1)].set(
+            jnp.sum(ph.alive.astype(jnp.int32)))
+        return i + 1, ph, counts
 
-    steps_done, photons = jax.lax.while_loop(cond, body, (0, photons))
+    init = (jnp.asarray(0, jnp.int32), photons)
+    if record:
+        init = init + (jnp.zeros(record, jnp.int32),)
+    out = jax.lax.while_loop(cond, body, init)
+    steps_done, photons = out[:2]
     # the live count rides along in the same program so the driver's
     # bucket decision costs one host read of an already-computed scalar
     # instead of a separate dispatch (remote sync ~74 ms either way, but
     # the extra ~25 ms count launch is gone)
-    return photons, steps_done, jnp.sum(photons.alive.astype(jnp.int32))
+    alive = jnp.sum(photons.alive.astype(jnp.int32))
+    if record:
+        return photons, steps_done, alive, out[2]
+    return photons, steps_done, alive
 
 
 @partial(jax.jit, static_argnames=('use_weights', 'prune', 'trav_stages'))
@@ -307,14 +329,35 @@ SCHED_FLOOR = 2048
 PROBE_SCHEDULE = ((1, 2), (2, 2), (2, 2), (4, 2), (8, 2), (16, 2))
 
 
+def _resolve_width(width, ent):
+    """Next-stage lane count for a schedule entry at current `width`.
+
+    A schedule entry is (steps, w) where w < 1024 is a DIVISOR of the
+    current width (the original pow2-bucket form, batch-size portable)
+    and w >= 1024 is an ABSOLUTE lane count (emitted by the cost-model
+    tuner, which picks non-pow2 bucket widths — survivor decay is
+    gradual, and rounding every bucket up to a power of two wastes up to
+    2x the lane-steps; schedules with absolute widths are only cached
+    per (geometry, batch) so the widths always match their batch)."""
+    d = int(ent[1])
+    return min(d, width) if d >= 1024 else width // d
+
+
 def _trim_schedule(sched, n):
     out = []
     width = n
-    for steps, div in sched:
-        if width // div < max(SCHED_FLOOR, MIN_BATCH):
+    pending = 0          # spans of dropped no-op boundaries
+    for ent in sched:
+        steps = int(ent[0]) + pending
+        pending = 0
+        m = _resolve_width(width, ent)
+        if m >= width:   # no-op boundary (absolute width >= current)
+            pending = steps
+            continue
+        if m < max(SCHED_FLOOR, MIN_BATCH):
             break
-        out.append((int(steps), int(div)))
-        width //= div
+        out.append((steps, int(ent[1])))
+        width = m
     return tuple(out)
 
 
@@ -349,38 +392,124 @@ def _survival_fn(n, boundary_steps, alive_counts):
     return alive_at
 
 
+def _round_lanes(w):
+    "Round a lane count UP to a multiple of 1024 (layout-friendly)."
+    return max(((int(w) + 1023) // 1024) * 1024, 1024)
+
+
+# cost-model constants for the schedule tuner, in per-lane-step units
+# (measured at 1M lanes, headline detector: one full-width step ~200 ms
+# -> ~190 ns/lane; the empty while_loop floor ~2-4 ms -> ~0.015n; a
+# compaction boundary = front-pack cumsum/scatter + one fat-row permute
+# ~ a tenth of a step at that width plus a small fixed launch cost)
+# cost-model constants for the schedule tuner, in LANE-STEP units
+# (measured, headline detector, v5e: per-lane step cost is a flat
+# ~240-260 ns/lane at the per-width-best traversal spec, the loop/launch
+# floor is ~6-8 ms/step ~ 30k lane-equivalents ABSOLUTE, and a boundary
+# costs about a tenth of a step at its width)
+SCHED_FLOOR_LANES = 30000    # per-step floor (absolute lanes-equivalent)
+SCHED_BOUNDARY_FRAC = 0.10   # boundary cost, as a fraction of width
+SCHED_BOUNDARY_LANES = 8000  # boundary fixed cost (absolute)
+SCHED_MAX_STAGES = int(os.environ.get('CHROMA_SCHED_MAX_STAGES', '6'))
+
+
 def _tune_schedule(n, boundary_steps, alive_counts, max_steps):
     """Derive a compaction schedule from a measured survival curve
-    ((step, alive-fraction) points from a probe bomb): at each stage,
-    compact to the smallest power-of-two-divided width that still holds
-    MARGIN x the expected survivors — overflow spills into a bounded
-    full-suffix mop-up loop, which is correct but slow, so the margin
-    errs conservative. Spans follow a doubling pattern (the survival
-    tail flattens, so later stages run longer between compactions)."""
+    ((step, alive count) points from a probe bomb) by dynamic
+    programming over a width ladder.
+
+    The ladder holds NON-pow2 widths ({n/2^k} U {3n/2^(k+2)}): survivor
+    decay is gradual (headline detector ~0.82x/step), so pow2-only
+    buckets run at ~55% average occupancy — steps 5-12 of the headline
+    bomb ran a 256k bucket carrying 134k->34k live lanes. The DP walks
+    the modeled per-step cost (width + loop floor) and boundary cost
+    (front-pack + fat-row permute), choosing when to compact and to
+    which ladder width; a 1.3x margin over the measured survivors keeps
+    overflow into the full-suffix mop-up loop rare (overflow lanes run
+    un-compacted to max_steps, so an optimistic width is catastrophic).
+    Emitted entries carry ABSOLUTE widths (see _resolve_width)."""
     if not len(alive_counts):
         return ()
-    margin = 1.3
+    margin = float(os.environ.get('CHROMA_SCHED_MARGIN', '1.3'))
+    # quantize the measured counts to a 3-bit mantissa (round UP): raw
+    # counts jitter a few % run to run, and any change in the derived
+    # schedule is a fresh trace that misses the persistent jit cache
+    # (~2 min recompile); the <12.5% slack is inside the margin
+    alive_counts = [0 if a <= 0 else
+                    int(math.ceil(a / (1 << max(int(a).bit_length() - 4, 0)))
+                        * (1 << max(int(a).bit_length() - 4, 0)))
+                    for a in (int(a) for a in alive_counts)]
     alive_at = _survival_fn(n, boundary_steps, alive_counts)
+    floor_w = max(SCHED_FLOOR, MIN_BATCH)
 
-    sched = []
-    width, cursor, span = n, 0, 1
-    while len(sched) < 7 and cursor < max_steps:
-        div = 1
-        while True:
-            need = max(alive_at(cursor + span) * margin * n, MIN_BATCH)
-            for cand in (16, 8, 4, 2):
-                if width // cand >= max(need, SCHED_FLOOR):
-                    div = cand
-                    break
-            if div > 1 or span >= 64 or cursor + span >= max_steps:
-                break
-            span *= 2
-        if div == 1:
+    ws = set()
+    for k in range(0, 14):
+        if (n >> k) < floor_w:
             break
-        sched.append((span, div))
-        cursor += span
-        width //= div
-        span *= 2
+        ws.add(_round_lanes(n >> k))
+        w34 = _round_lanes(3 * (n >> k) // 4)
+        if floor_w <= w34 < n:
+            ws.add(w34)
+    ladder = sorted((w for w in ws if w <= n), reverse=True)
+    if not ladder or ladder[0] != n:
+        ladder = [n] + [w for w in ladder if w < n]
+    nl = len(ladder)
+
+    F = min(SCHED_FLOOR_LANES, 0.05 * n)
+    H = int(max_steps)
+    from functools import lru_cache
+
+    horizon = int(boundary_steps[-1]) if len(boundary_steps) else 0
+
+    @lru_cache(maxsize=None)
+    def need(s):
+        # past the measured horizon the curve is extrapolated at the
+        # last segment's decay rate, but the surviving tail is exactly
+        # the long-lived minority whose decay SLOWS — double the margin
+        # out there rather than risk the mop-up
+        m = margin * (2.0 if s > horizon else 1.0)
+        return max(alive_at(s) * m * n, MIN_BATCH)
+
+    @lru_cache(maxsize=None)
+    def V(s, i, nb):
+        "Min modeled cost of steps s..H at width ladder[i], nb stages left."
+        if s >= H:
+            return 0.0
+        w = ladder[i]
+        best = (w + F) + V(s + 1, i, nb)
+        if nb > 0 and s > 0:
+            # compact to the smallest ladder width holding margin*alive
+            j = None
+            for cand in range(nl - 1, i, -1):
+                if ladder[cand] >= need(s):
+                    j = cand
+                    break
+            if j is not None:
+                cost = (SCHED_BOUNDARY_FRAC * w
+                        + SCHED_BOUNDARY_LANES + V(s, j, nb - 1))
+                if cost < best:
+                    best = cost
+        return best
+
+    # reconstruct: walk forward, emitting (span, absolute width) entries
+    sched = []
+    s, i, nb, span = 0, 0, SCHED_MAX_STAGES, 0
+    while s < H:
+        w = ladder[i]
+        here = V(s, i, nb)
+        stepped = (w + F) + V(s + 1, i, nb)
+        if abs(here - stepped) < 1e-6 * max(here, 1.0):
+            s += 1
+            span += 1
+            continue
+        for cand in range(nl - 1, i, -1):
+            if ladder[cand] >= need(s):
+                sched.append((span, int(ladder[cand])))
+                i, nb, span = cand, nb - 1, 0
+                break
+        else:                      # pragma: no cover — defensive
+            s += 1
+            span += 1
     return tuple(sched)
 
 
@@ -430,15 +559,16 @@ def _fused_bomb_impl(photons, geometry, key, schedule, max_steps,
                                    scatter_first, prune, spec_at(k))
             return ph
         nsteps = min(sched[0][0], max_steps - start)
-        div = sched[0][1]
-        ph, _, alive = _steps_loop(ph, geometry, skey, start, nsteps,
-                                   use_weights, scatter_first, prune,
-                                   spec_at(k))
-        if report and salt == 0:
-            counts.append(alive)
+        rec = nsteps if (report and salt == 0) else 0
+        out = _steps_loop(ph, geometry, skey, start, nsteps,
+                          use_weights, scatter_first, prune,
+                          spec_at(k), record=rec)
+        ph = out[0]
+        if rec:
+            counts.append(out[3])   # per-step alive curve of this stage
         start2 = start + nsteps
-        m = n // div
-        if start2 >= max_steps or m < MIN_BATCH:
+        m = _resolve_width(n, sched[0])
+        if start2 >= max_steps or m < MIN_BATCH or m >= n:
             return ph
         dest, perm = _ps_compact_perm(ph.alive)
         php = _ps_take(ph, perm)
@@ -458,7 +588,9 @@ def _fused_bomb_impl(photons, geometry, key, schedule, max_steps,
 
     out = stage(photons, 0, tuple(schedule), 0)
     if report:
-        return out, jnp.stack(counts) if counts else jnp.zeros(0, jnp.int32)
+        # one flat (total probe steps,) per-step survival curve
+        return out, (jnp.concatenate(counts) if counts
+                     else jnp.zeros(0, jnp.int32))
     return out
 
 
@@ -497,6 +629,9 @@ _DIST_CACHE = {}
 
 # per-(geometry, batch) PER-FUSED-STAGE traversal specs
 _PSTAGE_CACHE = {}
+
+# per-(geometry, batch) raw probe survival curves (diagnostics)
+_PROBE_COUNTS = {}
 
 
 def _tune_stages(photons, geometry, key, use_weights, scatter_first,
@@ -576,22 +711,44 @@ def _visit_sample(photons, geometry, k, n_valid):
     return np.asarray(v)[:min(n_valid, k)]
 
 
-def _tune_stage_specs(n, sched, max_steps, dists, flat_spec):
-    """Per-fused-stage traversal staging specs.
+# width thresholds for the per-bucket traversal staging policy,
+# measured on an all-alive deep-survivor population (headline detector,
+# ms/step at (48,16) / (48,8) / (48,4) / unstaged):
+#   393216: 176 /  95 / 109 / 194      98304: 43 / 25 / 28 / 42
+#    65536:  75 /  61 /  21 /  29      32768: 40 / 34 / 39 / 17
+#    16384:  24 /  21 /  23 /  12
+# Above ~98k lanes div-8 staging halves the step (per-lane cost a flat
+# ~240-260 ns); below ~49k the staged tail's ~80 lockstep iterations at
+# tiny slice widths are pure loop floor and UNSTAGED wins — schedules
+# whose small buckets ran the flat (48,16) spec measured 3x slower
+# end-to-end (945k vs 234-310k photons/s) than identical schedules
+# without small staged buckets.
+STAGE_DIV8_MIN = 98304
+STAGE_DIV4_MIN = 49152
 
-    Measured at headline scale (29k instances, 1M photons): a modeled
-    "no overflow anywhere" assignment that raises the boundary where a
-    bucket's tail is heavy ((32,56,56,64) per bucket) gives 727k
-    photons/s — WORSE than the flat boundary everywhere (828k), because
-    mild overflow into the full-width mop-up is cheaper than the extra
-    full-width visits every non-tail lane pays. The one bucket where a
-    custom boundary wins is the FIRST: its population is exactly the
-    depth-0 source rays (typically tight for a point source — headline
-    max 43 visits, zero lanes past 48), so it can compact much earlier
-    than the flat boundary chosen for the deeper survivor populations.
-    (32, flat, flat, ...) measures 846k photons/s. So: stage 0 gets the
-    earliest boundary holding 2x its own walkers, every later stage
-    reuses the flat spec."""
+
+def _spec_for_width(w, b):
+    "Traversal staging spec for a compaction bucket of width w."
+    if w >= STAGE_DIV8_MIN:
+        return ((b, 8),)
+    if w >= STAGE_DIV4_MIN:
+        return ((b, 4),)
+    return ()
+
+
+def _tune_stage_specs(n, sched, max_steps, dists, flat_spec):
+    """Per-fused-stage traversal staging specs, width-aware.
+
+    Stage 0's population is exactly the depth-0 source rays (tight for
+    a point source — headline max 43 visits, zero lanes past 48), so it
+    gets the earliest boundary holding 2x its own walkers. Every later
+    bucket uses the flat tuned boundary with a width-dependent divisor
+    (see _spec_for_width): staging saves full-width visits at large
+    widths but is pure loop-floor loss at small ones. Raising deep
+    buckets' BOUNDARY where their tail is heavy was also measured and
+    lost ((32,56,56,64) per bucket: 727k vs 828k photons/s) — mild
+    overflow into the in-traversal mop-up is cheaper than extra
+    full-width visits."""
     if not dists or 0 not in dists or not flat_spec:
         return None
     v0 = dists[0]
@@ -602,9 +759,11 @@ def _tune_stage_specs(n, sched, max_steps, dists, flat_spec):
         if float(np.mean(v0 > b)) * margin <= 1.0 / div:
             b0 = b
             break
-    if b0 is None:
-        return None              # stage 0 can't beat the flat boundary
-    specs = [((b0, div),)] + [flat_spec] * len(sched)
+    specs = [((b0, div),) if b0 is not None else flat_spec]
+    width = n
+    for ent in sched:
+        width = _resolve_width(width, ent)
+        specs.append(_spec_for_width(width, flat_b))
     return tuple(specs)
 
 
@@ -703,10 +862,13 @@ def propagate(photons, geometry, key, max_steps=100, use_weights=False,
                     photons, geometry, key, probe, int(max_steps),
                     bool(use_weights), int(scatter_first), prune,
                     report=True, trav_stages=stages)
-            counts = np.asarray(counts)
-            bsteps = _boundary_steps(probe, int(max_steps))
+            # counts is the PER-STEP survival curve (alive after steps
+            # 1..len); clamp the tail after an early exit (stays 0)
+            counts = np.maximum(np.asarray(counts), 0)
+            _PROBE_COUNTS[ck] = counts      # diagnostics (chroma-profile)
+            bsteps = list(range(1, len(counts) + 1))
             _SCHED_CACHE[ck] = _tune_schedule(
-                n, bsteps[:len(counts)], counts, int(max_steps))
+                n, bsteps, counts, int(max_steps))
             dists = _DIST_CACHE.get(id(geometry))
             if dists and _SCHED_CACHE[ck]:
                 _PSTAGE_CACHE[ck] = _tune_stage_specs(

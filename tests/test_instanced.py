@@ -282,6 +282,41 @@ def test_per_stage_trav_specs_equivalence():
             for a, b in zip(jax.tree_util.tree_leaves(outs[0]),
                             jax.tree_util.tree_leaves(got)):
                 assert (np.asarray(a) == np.asarray(b)).all()
+        # absolute-width schedule entries (the cost-model tuner's form)
+        # pick the same widths as the divisor form -> identical program
+        P._PSTAGE_CACHE.pop(ck, None)
+        P._SCHED_CACHE[ck] = ((2, 8192), (4, 4096))
+        res = P.propagate(ps, ga, make_key(11), max_steps=12)
+        got = jax.device_get(res)
+        for a, b in zip(jax.tree_util.tree_leaves(outs[0]),
+                        jax.tree_util.tree_leaves(got)):
+            assert (np.asarray(a) == np.asarray(b)).all()
     finally:
         P._SCHED_CACHE.pop(ck, None)
         P._PSTAGE_CACHE.pop(ck, None)
+
+
+def test_schedule_tuner_cost_model():
+    """The DP schedule tuner emits monotonically shrinking absolute
+    widths that always hold the margin over the interpolated survivors,
+    and is stable under a few percent of count jitter."""
+    from chroma_tpu.ops.propagate import (_tune_schedule, _resolve_width,
+                                          _survival_fn, MIN_BATCH)
+    n = 1 << 20
+    bs = [1, 3, 5, 9, 17, 31]
+    alive = [int(0.36 * 0.82 ** (k - 1) * n) for k in bs]
+    sched = _tune_schedule(n, bs, alive, 100)
+    assert sched, 'a decaying curve must produce a schedule'
+    alive_at = _survival_fn(n, bs, alive)
+    w, step = n, 0
+    for ent in sched:
+        assert ent[0] >= 1
+        step += ent[0]
+        m = _resolve_width(w, ent)
+        assert MIN_BATCH <= m < w, (m, w)
+        assert m >= min(alive_at(step) * 1.3 * n, n), \
+            'bucket must hold margin x survivors'
+        w = m
+    # stable under +3% jitter (quantized counts -> cached compile reuse)
+    alive_hi = [int(a * 1.03) for a in alive]
+    assert _tune_schedule(n, bs, alive_hi, 100) == sched

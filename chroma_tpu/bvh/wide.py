@@ -51,6 +51,12 @@ TAG_INTERNAL = 0
 TAG_LEAF = 1
 TAG_INSTANCE = 2
 
+# instanced-table bounds offset: cols 0..13 hold the instance transform
+# block (9 rotation + 3 displacement + tri_base + instance_id); the
+# child-bounds block starts here on internal AND instance rows so one
+# uniform sweep offset serves both (see build_instanced_bvh)
+INST_B0 = 14
+
 
 LEAF_STRIDE = 11   # floats per triangle in a leaf row
 
@@ -305,22 +311,27 @@ def build_wide_bvh(mesh, fanout=FANOUT, leaf_size=LEAF_SIZE,
 
 @struct.dataclass
 class InstancedBVH:
-    # unified tagged row table, width = max(6F+2, 11K, 15) + 1:
-    #   internal (tag 0): [lo*F, hi*F (6F), first_child_row i32, ...]
+    # unified tagged row table (v4 layout), width =
+    # max(INST_B0 + bounds + 1, 11K, 15) + 1 where bounds = 6F (f32) or
+    # 3F (packed bf16 pairs):
+    #   internal (tag 0): [.. 14 unused ..,
+    #                      bounds block, first_child_row i32, ...]
     #   leaf     (tag 1): [(v0, e1, e2, local_tri i32, mat code u32) x K,
     #                      ...] (local frame)
     #   instance (tag 2): [R_world->local row-major (9), displacement (3),
-    #                      blas_root_row i32, tri_base i32, instance_id i32,
-    #                      ...]
-    # last column: row tag (bitcast i32). Root is row 0. The baked codes
-    # and instance ids let traversal return the winning hit's material
-    # code, local-frame normal and owning instance with no follow-up
+    #                      tri_base i32, instance_id i32,
+    #                      bounds block (the BLAS ROOT's child bounds,
+    #                      LOCAL frame), first_child_row i32, ...]
+    # last column: row tag (bitcast i32). Root is row 0. Instance rows
+    # EMBED their BLAS root's children, so traversal enters an instance
+    # (ray rotation) and sweeps the root in ONE visit; the baked codes
+    # and instance ids let it return the winning hit's material code,
+    # local-frame normal and owning instance with no follow-up
     # searchsorted/gathers (chroma_tpu.ops.photon.fill_state).
     #
-    # With packed=True, internal rows instead hold bf16-PAIR bounds
-    # (_pack_bounds_words): 6 * F//2 words then first_child_row — a
-    # fanout-32 node in the same row width as a fanout-16 f32 one
-    # (width = max(3F+2, 11K, 15) + 1). Bounds are directed-rounded so
+    # With packed=True, bounds are bf16-PAIR words
+    # (_pack_bounds_words): 3F words — a fanout-32 node in nearly the
+    # row width of a fanout-16 f32 one. Bounds are directed-rounded so
     # boxes only grow: culling stays conservative, the exact leaf test
     # is unchanged.
     rows: jnp.ndarray
@@ -428,7 +439,8 @@ def _binary_sah_build(lo, hi, max_leaf, nbins=16):
                 hi=np.asarray(NHi, np.float32), perm=perm)
 
 
-def _emit_wide_rows(bn, fanout, width, make_leaf_row, packed=False):
+def _emit_wide_rows(bn, fanout, width, make_leaf_row, packed=False,
+                    b0=0):
     """Collapse a binary SAH tree into tagged wide rows.
 
     make_leaf_row(node_id) -> (width,) f32 row for a binary leaf (tagged by
@@ -439,6 +451,11 @@ def _emit_wide_rows(bn, fanout, width, make_leaf_row, packed=False):
     With packed=True, internal rows store child bounds as bf16 pairs
     (_pack_bounds_words): 6 * fanout // 2 words, then the first-child
     pointer — a fanout-32 node in 98 columns instead of 194.
+
+    b0: column where the bounds block starts (instanced tables reserve
+    cols 0..13 for the instance transform so instance rows can EMBED
+    their BLAS root's child bounds — one traversal visit per instance
+    entry instead of two).
     """
     left, right = bn['left'], bn['right']
     blo, bhi = bn['lo'], bn['hi']
@@ -480,7 +497,7 @@ def _emit_wide_rows(bn, fanout, width, make_leaf_row, packed=False):
         clo = np.full((fanout, 3), np.nan, np.float32)
         chi = np.full((fanout, 3), np.nan, np.float32)
         if not packed:
-            row[:6 * fanout] = np.nan
+            row[b0:b0 + 6 * fanout] = np.nan
         first = None
         for j, c in enumerate(ch):
             crid = alloc_row()
@@ -491,8 +508,8 @@ def _emit_wide_rows(bn, fanout, width, make_leaf_row, packed=False):
                 chi[j] = bhi[c]
             else:
                 for ax in range(3):
-                    row[ax * fanout + j] = blo[c][ax]
-                    row[(3 + ax) * fanout + j] = bhi[c][ax]
+                    row[b0 + ax * fanout + j] = blo[c][ax]
+                    row[b0 + (3 + ax) * fanout + j] = bhi[c][ax]
             if left[c] >= 0:
                 queue.append((c, crid, depth + 1))
             else:
@@ -500,8 +517,8 @@ def _emit_wide_rows(bn, fanout, width, make_leaf_row, packed=False):
                 leaf_row_index[c] = crid
         nw = 6 * (fanout // 2) if packed else 6 * fanout
         if packed:
-            row[:nw] = _pack_bounds_words(clo, chi, fanout)
-        row[nw] = np.int32(first).view(np.float32)
+            row[b0:b0 + nw] = _pack_bounds_words(clo, chi, fanout)
+        row[b0 + nw] = np.int32(first).view(np.float32)
         row[width - 1] = np.int32(TAG_INTERNAL).view(np.float32)
         rows[rid] = row
 
@@ -532,7 +549,7 @@ def _tri_leaf_row_maker(bn, tri, width, leaf_size, codes):
 
 
 def _blas_rows(mesh, fanout, leaf_size, width, sah_threshold, codes,
-               packed=False):
+               packed=False, b0=0):
     """Local-frame BLAS rows for one unique mesh (codes: per-local-tri
     packed u32). Returns (rows (R,width) f32, max_push_depth)."""
     vertices = mesh.vertices.astype(np.float32)
@@ -548,7 +565,7 @@ def _blas_rows(mesh, fanout, leaf_size, width, sah_threshold, codes,
         rows, _, depth = _emit_wide_rows(
             bn, fanout, width, _tri_leaf_row_maker(bn, tri, width,
                                                    leaf_size, codes),
-            packed=packed)
+            packed=packed, b0=b0)
         return rows, depth
 
     # very large unique mesh: fast Morton-leveled build at the f32 base
@@ -559,8 +576,8 @@ def _blas_rows(mesh, fanout, leaf_size, width, sah_threshold, codes,
                        material_codes=codes)
     src = np.asarray(w.rows)
     rows = np.zeros((len(src), width), np.float32)
+    nb = w.leaf_base
     if packed:
-        nb = w.leaf_base
         bb = src[:nb, :6 * base_fanout].reshape(nb, 6, base_fanout)
         clo = np.full((nb, fanout, 3), np.nan, np.float32)
         chi = np.full((nb, fanout, 3), np.nan, np.float32)
@@ -568,16 +585,66 @@ def _blas_rows(mesh, fanout, leaf_size, width, sah_threshold, codes,
             clo[:, :base_fanout, ax] = bb[:, ax]
             chi[:, :base_fanout, ax] = bb[:, 3 + ax]
         nw = 6 * (fanout // 2)
-        rows[:nb, :nw] = _pack_bounds_words(clo, chi, fanout)
-        rows[:nb, nw] = src[:nb, 6 * base_fanout]
-        rows[nb:, :LEAF_STRIDE * leaf_size] = \
-            src[nb:, :LEAF_STRIDE * leaf_size]
+        rows[:nb, b0:b0 + nw] = _pack_bounds_words(clo, chi, fanout)
+        rows[:nb, b0 + nw] = src[:nb, 6 * base_fanout]
     else:
-        rows[:, :src.shape[1]] = src
+        nw = 6 * fanout
+        rows[:nb, b0:b0 + nw + 1] = src[:nb, :nw + 1]
+    rows[nb:, :LEAF_STRIDE * leaf_size] = \
+        src[nb:, :LEAF_STRIDE * leaf_size]
     rows[:w.leaf_base, width - 1] = np.int32(TAG_INTERNAL) \
         .view(np.float32)
     rows[w.leaf_base:, width - 1] = np.int32(TAG_LEAF).view(np.float32)
     return rows, w.max_depth
+
+
+def upgrade_instanced_rows_v3(rows, fanout, leaf_size, packed):
+    """Upgrade a v3 instanced row table (bounds at col 0, separate
+    blas-root visit per instance entry) to the v4 layout (bounds at
+    INST_B0 on internal AND instance rows, instance rows embedding the
+    BLAS root's child bounds). Host numpy, one pass over the table —
+    lets v3 geometry caches load without the ~10 min re-mesh."""
+    rows = np.asarray(rows)
+    nrows, w_old = rows.shape
+    nw = 3 * fanout if packed else 6 * fanout
+    width = _pad8(max(INST_B0 + nw + 1, LEAF_STRIDE * leaf_size, 15) + 1)
+    tags = rows[:, w_old - 1].view(np.int32)
+    new = np.zeros((nrows, width), np.float32)
+    new[:, width - 1] = rows[:, w_old - 1]
+    internal = tags == TAG_INTERNAL
+    leaf = tags == TAG_LEAF
+    new[internal, INST_B0:INST_B0 + nw + 1] = rows[internal, 0:nw + 1]
+    new[leaf, :LEAF_STRIDE * leaf_size] = \
+        rows[leaf, :LEAF_STRIDE * leaf_size]
+
+    idx = np.flatnonzero(tags == TAG_INSTANCE)
+    new[idx, 0:12] = rows[idx, 0:12]          # rotation + displacement
+    new[idx, 12] = rows[idx, 13]              # tri_base
+    new[idx, 13] = rows[idx, 14]              # instance_id
+    roots = rows[idx, 12].view(np.int32)
+    ri = tags[roots] == TAG_INTERNAL
+    new[idx[ri], INST_B0:INST_B0 + nw + 1] = \
+        new[roots[ri], INST_B0:INST_B0 + nw + 1]
+    for j in np.flatnonzero(~ri):             # tiny-mesh leaf roots
+        blk = rows[roots[j], :LEAF_STRIDE * leaf_size] \
+            .reshape(leaf_size, LEAF_STRIDE)
+        used = blk[:, 9].view(np.int32) >= 0
+        v0 = blk[used, 0:3]
+        pts = np.concatenate([v0, v0 + blk[used, 3:6],
+                              v0 + blk[used, 6:9]], axis=0)
+        clo = np.full((fanout, 3), np.nan, np.float32)
+        chi = np.full((fanout, 3), np.nan, np.float32)
+        clo[0] = pts.min(axis=0)
+        chi[0] = pts.max(axis=0)
+        if packed:
+            new[idx[j], INST_B0:INST_B0 + nw] = \
+                _pack_bounds_words(clo, chi, fanout)
+        else:
+            new[idx[j], INST_B0:INST_B0 + nw] = np.concatenate(
+                [clo[:, 0], clo[:, 1], clo[:, 2],
+                 chi[:, 0], chi[:, 1], chi[:, 2]])
+        new[idx[j], INST_B0 + nw] = np.int32(roots[j]).view(np.float32)
+    return new
 
 
 def build_instanced_bvh(instances, fanout=None, leaf_size=LEAF_SIZE,
@@ -613,9 +680,17 @@ def build_instanced_bvh(instances, fanout=None, leaf_size=LEAF_SIZE,
         if packed_fanout % 2 or not 2 <= packed_fanout <= 32:
             raise ValueError('packed_fanout must be even and in [2, 32]')
         fanout = packed_fanout
+    # v4 layout: cols 0..13 are the instance transform block (rot 9,
+    # disp 3, tri_base, instance_id), bounds at INST_B0 on BOTH internal
+    # and instance rows, first-child pointer right after. Instance rows
+    # EMBED their BLAS root's child bounds, so entering an instance
+    # rotates the ray AND sweeps the root's children in ONE visit — at
+    # the 29k-instance headline scale instance entries are ~15-25% of
+    # all traversal visits and each saved a whole gather+kernel launch.
     bound_cols = 3 * fanout if packed else 6 * fanout
-    width = _pad8(max(bound_cols + 2, LEAF_STRIDE * leaf_size, 15) + 1)
-    fc_col = bound_cols
+    width = _pad8(max(INST_B0 + bound_cols + 1, LEAF_STRIDE * leaf_size,
+                      15) + 1)
+    fc_col = INST_B0 + bound_cols
     ident = np.identity(3, np.float32)
 
     # resolve unique (mesh, codes) pairs, baking non-rigid placements
@@ -657,7 +732,7 @@ def build_instanced_bvh(instances, fanout=None, leaf_size=LEAF_SIZE,
 
     # per-unique-mesh BLAS (local frame)
     blas = [_blas_rows(m, fanout, leaf_size, width, sah_threshold, c,
-                       packed=packed)
+                       packed=packed, b0=INST_B0)
             for m, c in zip(unique, unique_codes)]
     # instance world AABBs — EXACT (min/max over the transformed mesh
     # vertices, chunked), not the rotated local-AABB corners: corner
@@ -693,14 +768,16 @@ def build_instanced_bvh(instances, fanout=None, leaf_size=LEAF_SIZE,
         row = np.zeros(width, np.float32)
         row[0:9] = r_w2l.reshape(-1)
         row[9:12] = disp
-        row[12] = np.int32(mi).view(np.float32)   # patched to blas root
-        row[13] = np.int32(tri_base).view(np.float32)
-        row[14] = np.int32(iid).view(np.float32)
+        row[12] = np.int32(tri_base).view(np.float32)
+        row[13] = np.int32(iid).view(np.float32)
+        # mesh index stashed in the first-child col; the patch phase
+        # below replaces it with the embedded BLAS-root bounds + pointer
+        row[fc_col] = np.int32(mi).view(np.float32)
         row[width - 1] = np.int32(TAG_INSTANCE).view(np.float32)
         return row
 
     tlas_rows, leaf_row_index, tlas_depth = _emit_wide_rows(
-        bn, fanout, width, make_instance_row, packed=packed)
+        bn, fanout, width, make_instance_row, packed=packed, b0=INST_B0)
     tlas_n = len(tlas_rows)
 
     # concatenate [TLAS | BLAS_0 | BLAS_1 | ...], fixing pointers
@@ -716,16 +793,39 @@ def build_instanced_bvh(instances, fanout=None, leaf_size=LEAF_SIZE,
         all_rows.append(rows)
     table = np.concatenate(all_rows, axis=0)
 
-    # patch instance rows: mesh index -> absolute BLAS root row
+    # patch instance rows: embed the BLAS root's child bounds + pointer
+    # (one-visit instance entry). A root that is itself a leaf (tiny
+    # mesh) gets a single synthetic box — the mesh's local AABB — whose
+    # first_child points at the leaf row.
     tags = table[:, width - 1].view(np.int32)
     inst_rows = np.flatnonzero(tags == TAG_INSTANCE)
-    mi_of = table[inst_rows, 12].view(np.int32)
-    table[inst_rows, 12] = offsets[mi_of].astype(np.int32) \
-        .view(np.float32)
+    mi_of = table[inst_rows, fc_col].view(np.int32)
+    roots = offsets[mi_of]
+    root_internal = tags[roots] == TAG_INTERNAL
+    span = slice(INST_B0, fc_col + 1)
+    table[inst_rows[root_internal], span] = \
+        table[roots[root_internal], span]
+    for mi in np.unique(mi_of[~root_internal]):
+        v = unique[mi].vertices.astype(np.float32)
+        clo = np.full((fanout, 3), np.nan, np.float32)
+        chi = np.full((fanout, 3), np.nan, np.float32)
+        clo[0] = v.min(axis=0)
+        chi[0] = v.max(axis=0)
+        sel = inst_rows[(~root_internal) & (mi_of == mi)]
+        if packed:
+            table[np.ix_(sel, np.arange(INST_B0, fc_col))] = \
+                _pack_bounds_words(clo, chi, fanout)
+        else:
+            table[np.ix_(sel, np.arange(INST_B0, fc_col))] = \
+                np.concatenate([clo[:, 0], clo[:, 1], clo[:, 2],
+                                chi[:, 0], chi[:, 1], chi[:, 2]])
+        table[sel, fc_col] = offsets[mi].astype(np.int32) \
+            .view(np.float32)
 
-    # stack depth: TLAS pushes + instance slot + deepest BLAS pushes
+    # stack depth: TLAS pushes + deepest BLAS pushes (instance entry
+    # descends straight into the embedded root sweep — no extra level)
     blas_depth = max((d for _r, d in blas), default=0)
-    max_depth = tlas_depth + 1 + 1 + blas_depth + 1
+    max_depth = tlas_depth + 1 + blas_depth + 1
 
     built = InstancedBVH(
         rows=jnp.asarray(table),

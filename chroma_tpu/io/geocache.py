@@ -21,7 +21,8 @@ import os
 import numpy as np
 import jax.numpy as jnp
 
-FORMAT_VERSION = 3   # v3: packed bf16-pair fanout-32 internal rows
+FORMAT_VERSION = 4   # v4: INST_B0 bounds offset, fat instance rows
+                     # (v3 tables are upgraded in-place on load)
 
 
 def _registry():
@@ -108,10 +109,20 @@ def load_geometry_arrays(path, lean=False):
         return None
     with open(path + '.json') as f:
         meta = json.load(f)
-    if meta.get('__version__') != FORMAT_VERSION:
+    version = meta.get('__version__')
+    if version not in (3, FORMAT_VERSION):
         return None
     with np.load(path + '.npz') as zf:
         arrays = {k: zf[k] for k in zf.files}
+    if version == 3 and meta.get('ga.wide.__class__') == 'InstancedBVH':
+        # v3 -> v4: shift bounds to INST_B0, embed BLAS roots into
+        # instance rows (host-side, one numpy pass — no re-mesh)
+        from chroma_tpu.bvh.wide import upgrade_instanced_rows_v3
+        arrays['ga.wide.rows'] = upgrade_instanced_rows_v3(
+            arrays['ga.wide.rows'],
+            int(meta['ga.wide.fanout'][1]),
+            int(meta['ga.wide.leaf_size'][1]),
+            bool(meta.get('ga.wide.packed', [None, False])[1]))
     if lean and 'ga.inst.__class__' in meta:
         for k in _SOUP_KEYS:
             arrays.pop(k, None)

@@ -99,7 +99,7 @@ def _ctz32_i32(m):
         jax.lax.population_count(low - 1).astype(jnp.int32))
 
 
-def _child_sweep(gT, f, ray_cols, best_d, active, packed=False):
+def _child_sweep(gT, f, ray_cols, best_d, active, packed=False, b0=0):
     """Slab test of all F children of a fetched node row, in column form:
     every operand is a fully lane-packed (N,) vector (the (N, 3, F)
     formulation left the 128-lane VPU at ~5% utilization and dominated
@@ -125,7 +125,7 @@ def _child_sweep(gT, f, ray_cols, best_d, active, packed=False):
 
             def col(k):
                 word = jax.lax.dynamic_slice_in_dim(
-                    gT, w + k * pw, 1, axis=0)[0]
+                    gT, b0 + w + k * pw, 1, axis=0)[0]
                 u = jax.lax.bitcast_convert_type(word, jnp.int32)
                 lov = jax.lax.bitcast_convert_type(u << 16, jnp.float32)
                 hiv = jax.lax.bitcast_convert_type(
@@ -133,8 +133,8 @@ def _child_sweep(gT, f, ray_cols, best_d, active, packed=False):
                 return jnp.where(low, lov, hiv)
         else:
             def col(k):
-                return jax.lax.dynamic_slice_in_dim(gT, c + k * f, 1,
-                                                    axis=0)[0]
+                return jax.lax.dynamic_slice_in_dim(gT, b0 + c + k * f,
+                                                    1, axis=0)[0]
         lox, loy, loz = col(0), col(1), col(2)
         hix, hiy, hiz = col(3), col(4), col(5)
         t0x = lox * ix + nx
@@ -447,7 +447,8 @@ def _make_body_inst(inst, rays):
     """Per-iteration visit function for the instanced table.
     rays = (origin, direction, inv_dir, neg_org, finite, last_hit), all in
     the WORLD frame; local-frame registers ride in the loop state."""
-    from chroma_tpu.bvh.wide import TAG_INTERNAL, TAG_LEAF, TAG_INSTANCE
+    from chroma_tpu.bvh.wide import (TAG_INTERNAL, TAG_LEAF, TAG_INSTANCE,
+                                     INST_B0)
 
     origin, direction, inv_dir, neg_org, finite, last_hit = rays
     n = origin.shape[0]
@@ -457,10 +458,11 @@ def _make_body_inst(inst, rays):
     width = inst.rows.shape[1]
     org_c, dir_c, inv_c, neg_c, fin_c = _ray_cols(origin, direction,
                                                   inv_dir, neg_org, finite)
-    # finite flags travel as f32 0/1 in the instanced state so they cross
-    # the Pallas boundary without per-visit bool<->f32 cast buffers
-    world_loc = org_c + dir_c + inv_c + neg_c \
-        + tuple(fc.astype(jnp.float32) for fc in fin_c)
+    # the carried local-frame registers are origin+direction ONLY (6
+    # lane-packed rows); 1/d, -o/d and finiteness are re-derived per
+    # visit in registers — the visit is HBM-stream bound, so trading 9
+    # VPU ops for 18 carried row streams wins
+    world_loc = org_c + dir_c
 
     from chroma_tpu.ops import visit_kernel
     # int32 bitmask arithmetic in the kernel wraps two's-complement, so
@@ -471,9 +473,8 @@ def _make_body_inst(inst, rays):
     def body(state):
         (cur, depth, bases, masks, best_tri, best_d, loc, d_inst,
          tbase, iid, hctx) = state
-        # loc: the local-frame ray registers as 15 lane-packed (N,)
-        # vectors (ox,oy,oz, dx,dy,dz, ix,iy,iz, nx,ny,nz, fx,fy,fz —
-        # the last three f32 0/1)
+        # loc: the local-frame ray registers as 6 lane-packed (N,)
+        # vectors (ox,oy,oz, dx,dy,dz); derived registers recomputed
         active = cur >= 0
 
         rows = inst.rows[jnp.where(active, cur, 0)]  # the ONE gather
@@ -483,26 +484,11 @@ def _make_body_inst(inst, rays):
         at_leaf = active & (tag == TAG_LEAF)
         is_inst = active & (tag == TAG_INSTANCE)
 
-        o_cc, d_cc = loc[0:3], loc[3:6]
-        inv_cc, neg_cc = loc[6:9], loc[9:12]
-        fin_cc = tuple(fc > 0.5 for fc in loc[12:15])
-
-        hitmask, nearest = _child_sweep(gT, f,
-                                        (o_cc, inv_cc, neg_cc, fin_cc),
-                                        best_d, internal,
-                                        packed=getattr(inst, 'packed',
-                                                       False))
-        hitmask = jax.lax.bitcast_convert_type(hitmask, jnp.int32)
-        best_tri, best_d, *hctx = _leaf_sweep(
-            gT, k, o_cc, d_cc, last_hit, at_leaf,
-            (best_tri, best_d) + tuple(hctx), tri_base=tbase, iid=iid)
-        hctx = tuple(hctx)
-
-        fc_col = 3 * f if getattr(inst, 'packed', False) else 6 * f
-        first_child = jax.lax.bitcast_convert_type(gT[fc_col], jnp.int32)
-
         # instance entry: rotate the WORLD ray into the instance frame
-        # (column form: nine (N,) fma chains instead of an (N,3,3) einsum)
+        # (column form: nine (N,) fma chains instead of an (N,3,3)
+        # einsum). The entered registers feed THIS visit's sweep — the
+        # instance row embeds its BLAS root's child bounds (bvh.wide
+        # v4 layout), so entry + root sweep happen in one visit.
         px = org_c[0] - gT[9]
         py = org_c[1] - gT[10]
         pz = org_c[2] - gT[11]
@@ -512,36 +498,53 @@ def _make_body_inst(inst, rays):
         d_li = (gT[0] * dir_c[0] + gT[1] * dir_c[1] + gT[2] * dir_c[2],
                 gT[3] * dir_c[0] + gT[4] * dir_c[1] + gT[5] * dir_c[2],
                 gT[6] * dir_c[0] + gT[7] * dir_c[1] + gT[8] * dir_c[2])
-        inv_li = tuple(1.0 / d for d in d_li)
-        neg_li = tuple(-o * i for o, i in zip(o_li, inv_li))
-        fin_li = tuple(jnp.isfinite(i).astype(jnp.float32)
-                       for i in inv_li)
-        entered = o_li + d_li + inv_li + neg_li + fin_li
-        loc = tuple(jnp.where(is_inst, e, l)
-                    for e, l in zip(entered, loc))
-        d_inst = jnp.where(is_inst, depth, d_inst)
-        tbase = jnp.where(is_inst,
-                          jax.lax.bitcast_convert_type(gT[13], jnp.int32),
-                          tbase)
-        iid = jnp.where(is_inst,
-                        jax.lax.bitcast_convert_type(gT[14], jnp.int32),
-                        iid)
-        blas_root = jax.lax.bitcast_convert_type(gT[12], jnp.int32)
+        entered = o_li + d_li
+        sweep_loc = tuple(jnp.where(is_inst, e, l)
+                          for e, l in zip(entered, loc))
 
-        # descend: internal -> nearest hit child; instance -> BLAS root
-        # (masks are i32 with two's-complement wrap, matching the Pallas
-        # kernel's state layout — no bitcast at the kernel boundary)
-        desc_int = internal & (hitmask != 0)
-        will = desc_int | is_inst
-        rest = jnp.where(desc_int,
+        o_cc, d_cc = sweep_loc[0:3], sweep_loc[3:6]
+        inv_cc = tuple(1.0 / d for d in d_cc)
+        neg_cc = tuple(-o * i for o, i in zip(o_cc, inv_cc))
+        fin_cc = tuple(jnp.isfinite(i) for i in inv_cc)
+
+        sweeping = internal | is_inst
+        hitmask, nearest = _child_sweep(gT, f,
+                                        (o_cc, inv_cc, neg_cc, fin_cc),
+                                        best_d, sweeping,
+                                        packed=getattr(inst, 'packed',
+                                                       False),
+                                        b0=INST_B0)
+        hitmask = jax.lax.bitcast_convert_type(hitmask, jnp.int32)
+        best_tri, best_d, *hctx = _leaf_sweep(
+            gT, k, o_cc, d_cc, last_hit, at_leaf,
+            (best_tri, best_d) + tuple(hctx), tri_base=tbase, iid=iid)
+        hctx = tuple(hctx)
+
+        fc_col = INST_B0 + (3 * f if getattr(inst, 'packed', False)
+                            else 6 * f)
+        first_child = jax.lax.bitcast_convert_type(gT[fc_col], jnp.int32)
+
+        # descend to the nearest hit child (masks are i32 with
+        # two's-complement wrap, matching the Pallas kernel's state
+        # layout — no bitcast at the kernel boundary). Instance-frame
+        # registers commit only when the entry actually descends; a
+        # culled entry (no child hit) pops with its world registers.
+        will = sweeping & (hitmask != 0)
+        ei = is_inst & will
+        loc = tuple(jnp.where(ei, e, l) for e, l in zip(entered, loc))
+        d_inst = jnp.where(ei, depth, d_inst)
+        tbase = jnp.where(ei,
+                          jax.lax.bitcast_convert_type(gT[12], jnp.int32),
+                          tbase)
+        iid = jnp.where(ei,
+                        jax.lax.bitcast_convert_type(gT[13], jnp.int32),
+                        iid)
+        rest = jnp.where(will,
                          hitmask & ~(jnp.int32(1) << nearest),
                          jnp.int32(0))
-        bases = _stack_set(bases, depth,
-                           jnp.where(is_inst, blas_root, first_child),
-                           will, depth_max)
+        bases = _stack_set(bases, depth, first_child, will, depth_max)
         masks = _stack_set(masks, depth, rest, will, depth_max)
-        cur = jnp.where(is_inst, blas_root,
-                        jnp.where(desc_int, first_child + nearest, cur))
+        cur = jnp.where(will, first_child + nearest, cur)
         depth = jnp.where(will, depth + 1, depth)
 
         # pop: jump straight to the highest pending sibling group
@@ -576,7 +579,8 @@ def _make_body_inst_pallas(inst, rays, world_loc):
     (N, W) -> (W, N) HBM transpose. The whole per-visit computation runs
     as one fused Mosaic kernel (chroma_tpu.ops.visit_kernel). State
     pytree matches _make_body_inst."""
-    from chroma_tpu.bvh.wide import TAG_INTERNAL, TAG_LEAF, TAG_INSTANCE
+    from chroma_tpu.bvh.wide import (TAG_INTERNAL, TAG_LEAF, TAG_INSTANCE,
+                                     INST_B0)
     from chroma_tpu.ops.visit_kernel import visit_inst
 
     origin, direction, inv_dir, neg_org, finite, last_hit = rays
@@ -591,16 +595,17 @@ def _make_body_inst_pallas(inst, rays, world_loc):
     from chroma_tpu.ops.visit_kernel import interpret_mode
     interp = interpret_mode()
 
-    rays_pack = jnp.stack(world_loc).reshape(15, nb, 128)
+    rays_pack = jnp.stack(world_loc).reshape(6, nb, 128)
     last_t = last_hit.reshape(nb, 128)
 
     def r2(a):
         return a.reshape(nb, 128)
 
     def body(state):
-        # state layout matches the kernel exactly (i32 masks, f32 0/1
-        # finite flags), so every per-visit conversion below is a FREE
-        # row-major reshape — no cast materializes a buffer
+        # state layout matches the kernel exactly (i32 masks, 6-row
+        # origin+direction ray registers), so every per-visit conversion
+        # below is a FREE row-major reshape — no cast materializes a
+        # buffer
         (cur, depth, bases, masks, best_tri, best_d, loc, d_inst,
          tbase, iid, hctx) = state
         active = cur >= 0
@@ -618,9 +623,9 @@ def _make_body_inst_pallas(inst, rays, world_loc):
             masks.reshape(depth_max, nb, 128),
             r2(best_d), hctx_t, loc_t, rays_pack, last_t,
             width, f, k, depth_max, tags, interpret=interp,
-            packed=getattr(inst, 'packed', False))
+            packed=getattr(inst, 'packed', False), b0=INST_B0)
 
-        loc_out = tuple(loc_t[i].reshape(n) for i in range(15))
+        loc_out = tuple(loc_t[i].reshape(n) for i in range(6))
         hctx_out = tuple(h.reshape(n) for h in hctx_t)
         return (cur.reshape(n), depth.reshape(n),
                 bases_t.reshape(depth_max, n),
@@ -663,9 +668,8 @@ def _init_inst(inst, origin, direction, last_hit_triangle, mask,
         cur0 = jnp.where(mask, cur0, -1)
 
     cols = _ray_cols(origin, direction, inv_dir, neg_org, finite)
-    # finite flags as f32 0/1 (kernel state layout)
-    loc0 = cols[0] + cols[1] + cols[2] + cols[3] \
-        + tuple(fc.astype(jnp.float32) for fc in cols[4])
+    # origin+direction only (kernel state layout; derived regs in-kernel)
+    loc0 = cols[0] + cols[1]
     hctx0 = (izero, fzero, fzero, fzero, izero)   # code, normal, iid
     state = (cur0, depth0, bases0, masks0, best_tri0, best_d0,
              loc0, izero + IBIG, izero, izero, hctx0)
@@ -814,11 +818,10 @@ def traversal_visits(origin, direction, wide, last_hit_triangle=None,
     bases0 = jnp.zeros((depth_max, n), dtype=jnp.int32)
     best_d0 = fzero + jnp.inf if best_limit is None else best_limit
     if isinstance(wide, InstancedBVH):
-        # instanced state layout: i32 masks, f32 0/1 finite flags
+        # instanced state layout: i32 masks, 6-row ray registers
         masks0 = jnp.zeros((depth_max, n), dtype=jnp.int32)
         cols = _ray_cols(origin, direction, inv_dir, neg_org, finite)
-        loc0 = cols[0] + cols[1] + cols[2] + cols[3] \
-            + tuple(fc.astype(jnp.float32) for fc in cols[4])
+        loc0 = cols[0] + cols[1]
         state = (cur0, izero, bases0, masks0, izero - 1, best_d0,
                  loc0, izero + IBIG, izero, izero,
                  (izero, fzero, fzero, fzero, izero))

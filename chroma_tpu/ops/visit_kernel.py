@@ -107,25 +107,30 @@ def _ctz32(m):
 
 
 def _visit_kernel_inst(*refs, W, F, K, D, TAG_INTERNAL, TAG_LEAF,
-                       TAG_INSTANCE, IBIG, PACKED=False):
+                       TAG_INSTANCE, IBIG, PACKED=False, B0=0):
     """One traversal visit for a (TB, 128) tile of lanes (instanced
     table). refs: rows (TB, 128, W), cur, depth, best_tri, d_inst, tbase,
-    iid, bases, masks, bd, bcode, bn x3, biid, loc x15, rays, last |
+    iid, bases, masks, bd, bcode, bn x3, biid, loc x6, rays, last |
     outputs cur, depth, best_tri, d_inst, tbase, iid, bases, masks, bd,
-    bcode, bn x3, biid, loc x15 (same order).
+    bcode, bn x3, biid, loc x6 (same order).
 
     The fetched rows arrive UNTRANSPOSED and are transposed here, in
     VMEM/vregs — measured ~1.3 ms/visit cheaper at 1M lanes than the XLA
-    HBM transpose the previous layout paid per visit."""
+    HBM transpose the previous layout paid per visit.
+
+    The kernel is HBM-STREAM bound (~200 (N,) state rows in+out per
+    visit), so the carried ray registers hold only origin+direction (6
+    rows); 1/d, -o/d and the finite flags are re-derived in vregs each
+    visit — 9 fused VPU ops versus 18 HBM row streams."""
     (rows_ref, cur_ref, depth_ref, btri_ref, dinst_ref, tbase_ref,
      iid_ref, bases_ref, masks_ref, bd_ref, bcode_ref, bnx_ref, bny_ref,
      bnz_ref, biid_ref) = refs[0:15]
-    loc_refs = refs[15:30]
-    rays_ref, last_ref = refs[30], refs[31]
+    loc_refs = refs[15:21]
+    rays_ref, last_ref = refs[21], refs[22]
     (ocur_ref, odepth_ref, obtri_ref, odinst_ref, otbase_ref, oiid_ref,
      obases_ref, omasks_ref, obd_ref, obcode_ref, obnx_ref, obny_ref,
-     obnz_ref, obiid_ref) = refs[32:46]
-    oloc_refs = refs[46:61]
+     obnz_ref, obiid_ref) = refs[23:37]
+    oloc_refs = refs[37:43]
 
     gT = jnp.transpose(rows_ref[:], (2, 0, 1))   # in-VMEM transpose
 
@@ -149,9 +154,32 @@ def _visit_kernel_inst(*refs, W, F, K, D, TAG_INTERNAL, TAG_LEAF,
     at_leaf = active & (tag == TAG_LEAF)
     is_inst = active & (tag == TAG_INSTANCE)
 
-    loc = [loc_refs[i][:] for i in range(15)]
-    o_cc, d_cc = loc[0:3], loc[3:6]
-    inv_cc, neg_cc, fin_cc = loc[6:9], loc[9:12], loc[12:15]
+    loc = [loc_refs[i][:] for i in range(6)]
+
+    # --- instance entry: rotate the world ray into the instance frame
+    # (v4 layout: the instance row EMBEDS its BLAS root's child bounds,
+    # so entry and root sweep happen in THIS visit — one gather+kernel
+    # launch per instance entry instead of two) ---
+    rays = [rays_ref[i] for i in range(6)]
+    w_org, w_dir = rays[0:3], rays[3:6]
+    px = w_org[0] - gT[9]
+    py = w_org[1] - gT[10]
+    pz = w_org[2] - gT[11]
+    o_li = (gT[0] * px + gT[1] * py + gT[2] * pz,
+            gT[3] * px + gT[4] * py + gT[5] * pz,
+            gT[6] * px + gT[7] * py + gT[8] * pz)
+    d_li = (gT[0] * w_dir[0] + gT[1] * w_dir[1]
+            + gT[2] * w_dir[2],
+            gT[3] * w_dir[0] + gT[4] * w_dir[1]
+            + gT[5] * w_dir[2],
+            gT[6] * w_dir[0] + gT[7] * w_dir[1]
+            + gT[8] * w_dir[2])
+    entered = o_li + d_li
+    sweep_loc = [jnp.where(is_inst, e, l) for e, l in zip(entered, loc)]
+    o_cc, d_cc = sweep_loc[0:3], sweep_loc[3:6]
+    # derived ray registers live in vregs, never in HBM
+    inv_cc = [1.0 / d for d in d_cc]
+    neg_cc = [-o * i for o, i in zip(o_cc, inv_cc)]
 
     # --- child slab sweep (unrolled; everything stays in vregs) ---
     neg_inf = jnp.float32(-jnp.inf)
@@ -159,16 +187,18 @@ def _visit_kernel_inst(*refs, W, F, K, D, TAG_INTERNAL, TAG_LEAF,
     hitmask = jnp.zeros_like(cur)
     nearest = jnp.zeros_like(cur)
     tnear = jnp.full_like(best_d, jnp.inf)
-    fin_ok = [f > 0.5 for f in fin_cc]
+    fin_ok = [jnp.isfinite(i) for i in inv_cc]
     PW = F // 2 if PACKED else F
+    sweeping = internal | is_inst
 
     def _bound(g, c):
-        """Bound group g (0..5 = lo_x..hi_z) of child c. Packed rows hold
-        bf16 pairs: child c in the low (c < F/2) or high half of word
-        c mod F/2 (bvh.wide._pack_bounds_words); empty slots decode NaN."""
+        """Bound group g (0..5 = lo_x..hi_z) of child c, at the B0
+        offset. Packed rows hold bf16 pairs: child c in the low
+        (c < F/2) or high half of word c mod F/2
+        (bvh.wide._pack_bounds_words); empty slots decode NaN."""
         if not PACKED:
-            return gT[g * F + c]
-        u = _bitcast_i32(gT[g * PW + (c % PW)])
+            return gT[B0 + g * F + c]
+        u = _bitcast_i32(gT[B0 + g * PW + (c % PW)])
         if c < PW:
             return _bitcast_f32(u << 16)
         return _bitcast_f32(u & jnp.int32(-65536))
@@ -204,7 +234,7 @@ def _visit_kernel_inst(*refs, W, F, K, D, TAG_INTERNAL, TAG_LEAF,
                         jnp.where(ctz, pos_inf, neg_inf))
         tmin = jnp.maximum(jnp.maximum(smx, smy), jnp.maximum(smz, 0.0))
         tmax = jnp.minimum(jnp.minimum(bgx, bgy), bgz)
-        hit = (tmin <= tmax) & (tmin <= best_d) & internal
+        hit = (tmin <= tmax) & (tmin <= best_d) & sweeping
         # two's-complement wrap keeps bit 31 usable for fanout-32 masks
         bit = int(np.uint32(1 << c).view(np.int32))
         hitmask = hitmask | jnp.where(hit, jnp.int32(bit), jnp.int32(0))
@@ -250,47 +280,26 @@ def _visit_kernel_inst(*refs, W, F, K, D, TAG_INTERNAL, TAG_LEAF,
         bnz = jnp.where(closer, e1x * e2y - e1y * e2x, bnz)
         best_iid = jnp.where(closer, iid, best_iid)
 
-    first_child = _bitcast_i32(gT[3 * F if PACKED else 6 * F])
+    first_child = _bitcast_i32(gT[B0 + (3 * F if PACKED else 6 * F)])
 
-    # --- instance entry: rotate the world ray into the instance frame ---
-    rays = [rays_ref[i] for i in range(15)]
-    w_org, w_dir = rays[0:3], rays[3:6]
-    px = w_org[0] - gT[9]
-    py = w_org[1] - gT[10]
-    pz = w_org[2] - gT[11]
-    o_li = (gT[0] * px + gT[1] * py + gT[2] * pz,
-            gT[3] * px + gT[4] * py + gT[5] * pz,
-            gT[6] * px + gT[7] * py + gT[8] * pz)
-    d_li = (gT[0] * w_dir[0] + gT[1] * w_dir[1]
-            + gT[2] * w_dir[2],
-            gT[3] * w_dir[0] + gT[4] * w_dir[1]
-            + gT[5] * w_dir[2],
-            gT[6] * w_dir[0] + gT[7] * w_dir[1]
-            + gT[8] * w_dir[2])
-    inv_li = tuple(1.0 / d for d in d_li)
-    neg_li = tuple(-o * i for o, i in zip(o_li, inv_li))
-    fin_li = tuple(jnp.isfinite(i).astype(jnp.float32) for i in inv_li)
-    entered = o_li + d_li + inv_li + neg_li + fin_li
-    loc = [jnp.where(is_inst, e, l) for e, l in zip(entered, loc)]
-    d_inst = jnp.where(is_inst, depth, d_inst)
-    tbase = jnp.where(is_inst, _bitcast_i32(gT[13]), tbase)
-    iid = jnp.where(is_inst, _bitcast_i32(gT[14]), iid)
-    blas_root = _bitcast_i32(gT[12])
-
-    # --- descend: internal -> nearest hit child; instance -> BLAS root ---
-    desc_int = internal & (hitmask != 0)
-    will = desc_int | is_inst
-    rest = jnp.where(desc_int, hitmask & ~(jnp.int32(1) << nearest),
+    # --- descend to the nearest hit child. Instance-frame registers
+    # commit only when the entry actually descends; a culled entry (no
+    # child hit) pops with its world registers intact. ---
+    will = sweeping & (hitmask != 0)
+    ei = is_inst & will
+    loc = [jnp.where(ei, e, l) for e, l in zip(entered, loc)]
+    d_inst = jnp.where(ei, depth, d_inst)
+    tbase = jnp.where(ei, _bitcast_i32(gT[12]), tbase)
+    iid = jnp.where(ei, _bitcast_i32(gT[13]), iid)
+    rest = jnp.where(will, hitmask & ~(jnp.int32(1) << nearest),
                      jnp.int32(0))
-    push_val = jnp.where(is_inst, blas_root, first_child)
     new_bases = []
     new_masks = []
     for d in range(D):
         sel = will & (depth == d)
-        new_bases.append(jnp.where(sel, push_val, bases_ref[d]))
+        new_bases.append(jnp.where(sel, first_child, bases_ref[d]))
         new_masks.append(jnp.where(sel, rest, masks_ref[d]))
-    cur = jnp.where(is_inst, blas_root,
-                    jnp.where(desc_int, first_child + nearest, cur))
+    cur = jnp.where(will, first_child + nearest, cur)
     depth = jnp.where(will, depth + 1, depth)
 
     # --- pop: highest pending sibling group ---
@@ -333,22 +342,23 @@ def _visit_kernel_inst(*refs, W, F, K, D, TAG_INTERNAL, TAG_LEAF,
     obny_ref[:] = bny
     obnz_ref[:] = bnz
     obiid_ref[:] = best_iid
-    for i in range(15):
+    for i in range(6):
         oloc_refs[i][:] = loc[i]
 
 
 @functools.partial(jax.jit, static_argnames=('W', 'F', 'K', 'D', 'tags',
-                                             'interpret', 'packed'))
+                                             'interpret', 'packed', 'b0'))
 def visit_inst(rows, cur, depth, btri, d_inst, tbase, iid, bases, masks,
                bd, hctx, loc, rays, last, W, F, K, D, tags,
-               interpret=False, packed=False):
+               interpret=False, packed=False, b0=0):
     """Run one instanced-table visit on all lanes.
 
     rows: (NB, 128, W) f32 gathered rows (UNTRANSPOSED; the kernel
     transposes in VMEM); cur/depth/btri/d_inst/tbase/iid/last:
     (NB, 128) i32; bases/masks: (D, NB, 128) i32; bd: (NB, 128) f32;
     hctx: (bcode i32, bnx, bny, bnz f32, biid i32) each (NB, 128); loc:
-    tuple of 15 (NB, 128) f32; rays: (15, NB, 128) f32 (constant).
+    (origin, direction) as 6 (NB, 128) f32 rows (derived registers are
+    recomputed in-kernel); rays: (6, NB, 128) f32 (constant).
     Returns (cur', depth', btri', d_inst', tbase', iid', bases', masks',
     bd', hctx', loc')."""
     TAG_INTERNAL, TAG_LEAF, TAG_INSTANCE, IBIG = tags
@@ -357,7 +367,7 @@ def visit_inst(rows, cur, depth, btri, d_inst, tbase, iid, bases, masks,
     kern = functools.partial(_visit_kernel_inst, W=W, F=F, K=K, D=D,
                              TAG_INTERNAL=TAG_INTERNAL, TAG_LEAF=TAG_LEAF,
                              TAG_INSTANCE=TAG_INSTANCE, IBIG=IBIG,
-                             PACKED=packed)
+                             PACKED=packed, B0=b0)
 
     def spec(lead=None):
         if lead is None:
@@ -376,15 +386,15 @@ def visit_inst(rows, cur, depth, btri, d_inst, tbase, iid, bases, masks,
         grid=(nb // tb,),
         in_specs=[rows_spec, flat, flat, flat, flat, flat, flat,
                   spec(D), spec(D), flat]
-                 + [flat] * 5 + [flat] * 15 + [spec(15), flat],
+                 + [flat] * 5 + [flat] * 6 + [spec(6), flat],
         out_specs=tuple([flat] * 6 + [spec(D), spec(D), flat]
-                        + [flat] * 5 + [flat] * 15),
+                        + [flat] * 5 + [flat] * 6),
         out_shape=tuple(
             [i32] * 6
             + [jax.ShapeDtypeStruct((D, nb, 128), jnp.int32)] * 2
-            + [f32] + [i32, f32, f32, f32, i32] + [f32] * 15),
+            + [f32] + [i32, f32, f32, f32, i32] + [f32] * 6),
         interpret=interpret,
     )(rows, cur, depth, btri, d_inst, tbase, iid, bases, masks, bd,
       *hctx, *loc, rays, last)
     return (out[0], out[1], out[2], out[3], out[4], out[5], out[6],
-            out[7], out[8], tuple(out[9:14]), tuple(out[14:29]))
+            out[7], out[8], tuple(out[9:14]), tuple(out[14:20]))

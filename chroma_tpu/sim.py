@@ -178,6 +178,12 @@ class Simulation(object):
                 state = photon_state_from_host(batch)
         key = self._next_key()
 
+        if self.mesh is not None and self.photon_tracking:
+            # tracking snapshots every chunk per original lane index;
+            # the sharded driver has no per-chunk host boundary to
+            # snapshot at, so tracking runs single-device
+            logger.warning('photon_tracking=True: ignoring mesh=%s and '
+                           'propagating single-device', self.mesh)
         if self.mesh is not None and not self.photon_tracking:
             # multi-chip: pad to the mesh, shard the photon axis, un-pad
             from chroma_tpu.parallel import propagate_sharded, pad_to_mesh

@@ -320,3 +320,31 @@ def test_schedule_tuner_cost_model():
     # stable under +3% jitter (quantized counts -> cached compile reuse)
     alive_hi = [int(a * 1.03) for a in alive]
     assert _tune_schedule(n, bs, alive_hi, 100) == sched
+
+
+def test_staged_inst_overflow_lanes():
+    """Headline-shape staging edges (VERDICT r3 item 10): overflow lanes
+    (survivors beyond the compaction slice) finish in the mop-up loop,
+    non-multiple-of-256 slice widths fall back to full width, and nested
+    stages can mix both — all bitwise-identical to the unstaged query."""
+    from chroma_tpu.ops.mesh_wide import intersect_mesh_instanced
+    geo = _pmt_array_geometry()
+    ga = build_geometry_arrays(geo)
+    cases = (
+        # visits bound 2: most lanes overflow the 1/2 slice -> mop-up
+        (4608, ((2, 2),)),
+        # nested: second stage m = 1152 (% 256 != 0) -> full-width
+        # fallback inside the first stage's slice
+        (4608, ((2, 2), (2, 2))),
+        # m = 2432 (% 256 != 0) -> the whole staged path falls back
+        (4864, ((4, 2),)),
+    )
+    for n, stages in cases:
+        o, d = _random_rays(n, seed=11)
+        ref = intersect_mesh_instanced(o, d, ga.wide, two_phase=False)
+        got = intersect_mesh_instanced(o, d, ga.wide, stages=stages)
+        assert (np.asarray(got[0]) == np.asarray(ref[0])).all(), \
+            (n, stages)
+        hit = np.asarray(ref[0]) >= 0
+        assert np.allclose(np.asarray(got[1])[hit],
+                           np.asarray(ref[1])[hit]), (n, stages)

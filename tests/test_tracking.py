@@ -41,3 +41,31 @@ def test_photon_tracks():
     assert (np.diff(track.t) >= 0).all()
     on_wall = (np.abs(np.abs(track.pos) - 500.0) < 1.0).any(axis=1)
     assert on_wall.all()
+
+
+def test_tracking_with_mesh_warns_and_tracks(caplog):
+    """photon_tracking with mesh= must not silently drop the mesh: it
+    warns and still produces tracks single-device (VERDICT r3 item 8)."""
+    import logging
+    from chroma_tpu.parallel import photon_mesh
+
+    water = Material('w')
+    water.set('refractive_index', 1.33)
+    water.set('absorption_length', 1e5)
+    water.set('scattering_length', 1e5)
+    absorber = Surface('absorber')
+    absorber.set('absorb', 1.0)
+    geo = Geometry(vacuum)
+    geo.add_solid(Solid(box(1000, 1000, 1000), water, vacuum,
+                        surface=absorber))
+    geo = create_geometry_from_obj(geo, update_bvh_cache=False)
+    sim = Simulation(geo, seed=5, photon_tracking=True,
+                     mesh=photon_mesh())
+
+    with caplog.at_level(logging.WARNING, logger='chroma_tpu'):
+        ev = next(sim.simulate(photon_bomb(32, 400.0, (0, 0, 0)),
+                               max_steps=4))
+    assert any('photon_tracking' in r.getMessage()
+               for r in caplog.records)
+    assert ev.photon_tracks is not None
+    assert len(ev.photon_tracks) == 32

@@ -280,7 +280,7 @@ def build_wide_bvh(mesh, fanout=FANOUT, leaf_size=LEAF_SIZE,
     rows[leaf_base:, :LEAF_STRIDE * leaf_size] = \
         leaf_rows.reshape(nblocks, -1)
 
-    return WideBVH(
+    built = WideBVH(
         rows=jnp.asarray(rows),
         leaf_base=int(leaf_base),
         max_depth=len(levels) + 1,
@@ -288,6 +288,10 @@ def build_wide_bvh(mesh, fanout=FANOUT, leaf_size=LEAF_SIZE,
         leaf_size=leaf_size,
         n_leaves=int(nblocks),
     )
+    from chroma_tpu import perfcache
+    perfcache.register(built, perfcache.fingerprint_rows(
+        rows, extra=(fanout, leaf_size, leaf_base)))
+    return built
 
 
 # ---------------------------------------------------------------------------
@@ -835,6 +839,11 @@ def build_instanced_bvh(instances, fanout=None, leaf_size=LEAF_SIZE,
         n_instances=n_inst,
         packed=packed,
     )
+    # content fingerprint, computed while the table is still host numpy —
+    # keys the persisted learned-performance state (chroma_tpu.perfcache)
+    from chroma_tpu import perfcache
+    perfcache.register(built, perfcache.fingerprint_rows(
+        table, extra=(fanout, leaf_size, packed, n_inst)))
     if want_meta:
         return built, meta
     return built

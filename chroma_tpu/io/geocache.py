@@ -127,4 +127,23 @@ def load_geometry_arrays(path, lean=False):
         for k in _SOUP_KEYS:
             arrays.pop(k, None)
             meta[k] = None
-    return _unflatten('ga', arrays, meta, _registry(), True)
+    fp = None
+    if 'ga.wide.rows' in arrays:
+        # same fingerprint definition as the builders (bvh.wide), so a
+        # geometry tuned in one process is recognized from the cache in
+        # the next — persisted schedules and gather widths apply with no
+        # fresh probe (chroma_tpu.perfcache)
+        from chroma_tpu import perfcache
+        fp = perfcache.fingerprint_rows(
+            arrays['ga.wide.rows'],
+            extra=(int(meta['ga.wide.fanout'][1]),
+                   int(meta['ga.wide.leaf_size'][1]))
+            + ((bool(meta.get('ga.wide.packed', [None, False])[1]),
+                int(meta['ga.wide.n_instances'][1]))
+               if meta.get('ga.wide.__class__') == 'InstancedBVH'
+               else (int(meta['ga.wide.leaf_base'][1]),)))
+    ga = _unflatten('ga', arrays, meta, _registry(), True)
+    if fp is not None:
+        from chroma_tpu import perfcache
+        perfcache.register(ga.wide, fp)
+    return ga

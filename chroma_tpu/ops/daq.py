@@ -221,7 +221,9 @@ def flat_hit_gather(state, geometry_arrays, m):
 
 # per-(geometry, batch) gather width learned from previous events: the
 # detected fraction of a detector is stable across bombs, so after the
-# first event extraction is one launch + one minority transfer
+# first event extraction is one launch + one minority transfer. Keyed by
+# geometry content fingerprint and persisted (chroma_tpu.perfcache), so
+# a cold process pays no resize retries (VERDICT r3 item 6).
 _HIT_M_CACHE = {}
 
 
@@ -230,9 +232,15 @@ def extract_flat_hits(state, geometry_arrays):
     count + front-pack, transfer of (just over) the detected minority
     (reference: gpu/photon.py:141-209 count->alloc->copy kernels)."""
     import numpy as np
-    from chroma_tpu.ops.propagate import photon_state_to_host
+    from chroma_tpu import perfcache
+    from chroma_tpu.ops.propagate import photon_state_to_host, perf_key
 
-    ck = (id(geometry_arrays), len(state))
+    pk = perf_key(geometry_arrays)
+    ck = (pk, len(state))
+    if ck not in _HIT_M_CACHE and perfcache.persistent(pk):
+        ent = perfcache.load(pk).get('hit_m:%d' % len(state))
+        if ent:
+            _HIT_M_CACHE[ck] = int(ent)
     m = min(_HIT_M_CACHE.get(ck, 4096), len(state))
     while True:
         sub, ch, n_det = flat_hit_gather(state, geometry_arrays, m)
@@ -242,8 +250,11 @@ def extract_flat_hits(state, geometry_arrays):
         while m < n:          # undersized guess: retry once, bigger
             m <<= 1
         m = min(m, len(state))
-    _HIT_M_CACHE[ck] = m if m <= 2 * max(n, 1) else max(
+    learned = m if m <= 2 * max(n, 1) else max(
         MIN_HIT_M, 1 << int(np.ceil(np.log2(max(n, 1)))))
+    if _HIT_M_CACHE.get(ck) != learned:
+        _HIT_M_CACHE[ck] = learned
+        perfcache.update(pk, {'hit_m:%d' % len(state): learned})
     # fetch the packed state and channels in ONE batched transfer
     sub, ch = jax.device_get((sub, ch))
     hits = photon_state_to_host(
@@ -252,6 +263,66 @@ def extract_flat_hits(state, geometry_arrays):
 
 
 MIN_HIT_M = 4096
+
+
+def propagate_with_hits(state, geometry_arrays, key, max_steps=100,
+                        step_chunk='auto'):
+    """Propagate AND extract flat hits in one device program (the
+    Simulation hot path): the fused bomb's outputs include the
+    front-packed detected minority, its channels, the true detected
+    count and the NAN_ABORT flag, so the host pays ONE dispatch, one
+    batched minority transfer, and zero separate count/abort launches
+    (reference equivalent: propagate kernel + count_photon_hits +
+    copy_photon_hits as three launches, gpu/photon.py:141-209).
+
+    Returns (result PhotonState on device, hits event.Photons on host).
+    Falls back to propagate + extract_flat_hits on probe bombs and
+    non-fused drivers."""
+    import numpy as np
+    from chroma_tpu import perfcache
+    from chroma_tpu.ops import propagate as P
+
+    n = len(state)
+    pk = P.perf_key(geometry_arrays)
+    ck = (pk, n)
+    if ck not in _HIT_M_CACHE and perfcache.persistent(pk):
+        ent = perfcache.load(pk).get('hit_m:%d' % n)
+        if ent:
+            _HIT_M_CACHE[ck] = int(ent)
+    m = min(_HIT_M_CACHE.get(ck, MIN_HIT_M), n)
+
+    out = P.propagate(state, geometry_arrays, key, max_steps=max_steps,
+                      step_chunk=step_chunk, extract_m=m)
+    if not isinstance(out, tuple):      # non-fused driver path
+        return out, extract_flat_hits(out, geometry_arrays)
+    result, bundle = out
+    if bundle is None:                  # probe bomb (first event)
+        return result, extract_flat_hits(result, geometry_arrays)
+
+    sub, ch, n_det_dev, abort = bundle
+    sub, ch, n_det, abort = jax.device_get((sub, ch, n_det_dev, abort))
+    if abort:
+        from chroma_tpu.log import logger
+        logger.warning('ABORTED PHOTONS')
+    n_det = int(n_det)
+    if n_det > m:
+        # undersized gather width: re-extract from the device-resident
+        # result (the bomb itself is NOT re-run)
+        while m < n_det:
+            m <<= 1
+        m = min(m, n)
+        sub_d, ch_d, _ = flat_hit_gather(result, geometry_arrays, m)
+        sub, ch = jax.device_get((sub_d, ch_d))
+    learned = m if m <= 2 * max(n_det, 1) else max(
+        MIN_HIT_M, 1 << int(np.ceil(np.log2(max(n_det, 1)))))
+    if _HIT_M_CACHE.get(ck) != learned:
+        _HIT_M_CACHE[ck] = learned
+        perfcache.update(pk, {'hit_m:%d' % n: learned})
+
+    from chroma_tpu.ops.propagate import photon_state_to_host
+    hits = photon_state_to_host(
+        sub, channel=np.maximum(np.asarray(ch), 0).astype(np.uint32))
+    return result, hits[:n_det]
 
 
 def photon_channels(photons_host, solid_id, solid_id_to_channel_index):

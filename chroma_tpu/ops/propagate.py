@@ -410,7 +410,7 @@ def _round_lanes(w):
 SCHED_FLOOR_LANES = 30000    # per-step floor (absolute lanes-equivalent)
 SCHED_BOUNDARY_FRAC = 0.10   # boundary cost, as a fraction of width
 SCHED_BOUNDARY_LANES = 8000  # boundary fixed cost (absolute)
-SCHED_MAX_STAGES = int(os.environ.get('CHROMA_SCHED_MAX_STAGES', '6'))
+SCHED_MAX_STAGES = int(os.environ.get('CHROMA_SCHED_MAX_STAGES', '12'))
 
 
 def _tune_schedule(n, boundary_steps, alive_counts, max_steps):
@@ -442,14 +442,19 @@ def _tune_schedule(n, boundary_steps, alive_counts, max_steps):
     alive_at = _survival_fn(n, boundary_steps, alive_counts)
     floor_w = max(SCHED_FLOOR, MIN_BATCH)
 
+    # three rungs per octave (1, 3/4, 5/8): measured occupancy of the
+    # round-3 two-rung ladder was 62% of ideal lane-steps — survivor
+    # decay (~0.78x/step headline) outpaces 1.33x-spaced rungs, and each
+    # missing rung costs a stage of ~20% padding
     ws = set()
     for k in range(0, 14):
         if (n >> k) < floor_w:
             break
         ws.add(_round_lanes(n >> k))
-        w34 = _round_lanes(3 * (n >> k) // 4)
-        if floor_w <= w34 < n:
-            ws.add(w34)
+        for num, den in ((3, 4), (5, 8)):
+            w = _round_lanes(num * (n >> k) // den)
+            if floor_w <= w < n:
+                ws.add(w)
     ladder = sorted((w for w in ws if w <= n), reverse=True)
     if not ladder or ladder[0] != n:
         ladder = [n] + [w for w in ladder if w < n]
@@ -528,11 +533,23 @@ def _per_stage_specs(trav_stages):
 
 def _fused_bomb_impl(photons, geometry, key, schedule, max_steps,
                      use_weights, scatter_first, prune, report=False,
-                     trav_stages=None):
+                     trav_stages=None, extract_m=0):
     """The whole bomb as one traced program (see module comment above).
-    With report=True additionally returns the alive count after each
+    Returns (final PhotonState, extras..., abort flag) — the NAN_ABORT
+    check rides in the same program, so the driver's warning costs one
+    scalar in an already-paid sync instead of a separate launch + sync
+    (~0.12 s per bomb through the remote runtime).
+
+    With report=True the extras include the alive count after each
     stage's bounded loop (stacked i32) — the probe bomb's survival curve
     for _tune_schedule, read back only after the program completes.
+
+    With extract_m > 0 the extras include the flat-hit extraction
+    (reference: gpu/photon.py:141-209): the detected minority
+    front-packed into extract_m lanes as a PhotonState plus its channel
+    ids and the true detected count — so the Simulation pays ONE
+    dispatch and one minority transfer per event instead of separate
+    propagate / abort-check / pack / count / gather launches.
 
     trav_stages may be one flat traversal staging spec or a PER-STAGE
     tuple of specs: each fused-schedule stage's population has a
@@ -587,11 +604,18 @@ def _fused_bomb_impl(photons, geometry, key, schedule, max_steps,
         return _ps_take(php, dest)
 
     out = stage(photons, 0, tuple(schedule), 0)
+    extras = ()
     if report:
         # one flat (total probe steps,) per-step survival curve
-        return out, (jnp.concatenate(counts) if counts
-                     else jnp.zeros(0, jnp.int32))
-    return out
+        extras += (jnp.concatenate(counts) if counts
+                   else jnp.zeros(0, jnp.int32),)
+    if extract_m:
+        from chroma_tpu.ops import daq as daq_ops
+        channel, perm, n_det = daq_ops.flat_hit_pack(out, geometry)
+        sel = perm[:extract_m]
+        extras += (_ps_take(out, sel), channel[sel], n_det)
+    abort = jnp.any((out.flags & jnp.uint32(event.NAN_ABORT)) != 0)
+    return (out,) + extras + (abort,)
 
 
 def _ps_compact_perm(active):
@@ -609,15 +633,19 @@ def _ps_compact_perm(active):
 _fused_bomb = jax.jit(
     _fused_bomb_impl,
     static_argnames=('schedule', 'max_steps', 'use_weights',
-                     'scatter_first', 'prune', 'report', 'trav_stages'))
+                     'scatter_first', 'prune', 'report', 'trav_stages',
+                     'extract_m'))
 
 
 USE_FUSED = os.environ.get('CHROMA_FUSED', '1') != '0'
 
-# per-(geometry, batch) tuned schedules, learned from each geometry's
-# first bomb (the probe). Keyed by id(): a stale entry after the
-# geometry object is collected can only mis-tune a later geometry that
-# reuses the address (perf noise, never correctness).
+# Learned performance state, keyed by the geometry's CONTENT fingerprint
+# (chroma_tpu.perfcache; falls back to a session id-key for geometries
+# built outside the registered paths). Tuned entries write through to
+# <CHROMA_CACHE_DIR>/perf/<fp>.json so a cold process reuses the probe
+# work (VERDICT r3 item 6: no probe bomb, no resize retries on restart).
+
+# per-(geometry, batch, max_steps) tuned schedules
 _SCHED_CACHE = {}
 
 # per-geometry tuned traversal staging specs (see _tune_stages)
@@ -627,11 +655,17 @@ _STAGE_CACHE = {}
 # visits array), consumed by _tune_stage_specs after the schedule probe
 _DIST_CACHE = {}
 
-# per-(geometry, batch) PER-FUSED-STAGE traversal specs
+# per-(geometry, batch, max_steps) PER-FUSED-STAGE traversal specs
 _PSTAGE_CACHE = {}
 
 # per-(geometry, batch) raw probe survival curves (diagnostics)
 _PROBE_COUNTS = {}
+
+
+def perf_key(geometry):
+    "Content-fingerprint cache key of a geometry (see chroma_tpu.perfcache)."
+    from chroma_tpu import perfcache
+    return perfcache.key_of(geometry)
 
 
 def _tune_stages(photons, geometry, key, use_weights, scatter_first,
@@ -680,7 +714,7 @@ def _tune_stages(photons, geometry, key, use_weights, scatter_first,
         _, perm = _ps_compact_perm(cur.alive)
         cur = _ps_take(cur, perm)
         dists[depth] = _visit_sample(cur, geometry, k, n_alive)
-    _DIST_CACHE[id(geometry)] = dists
+    _DIST_CACHE[perf_key(geometry)] = dists
 
     div, margin = 16, 4.0
     # flat spec: satisfy the shallow populations (the probe bomb's
@@ -769,12 +803,46 @@ def _tune_stage_specs(n, sched, max_steps, dists, flat_spec):
 
 def stages_for(geometry):
     """The traversal restart-staging spec propagate() will use for this
-    geometry: the env override, the probe-tuned entry, or None (pilot
-    not yet run -> per-width env default inside the traversal)."""
+    geometry: the env override, the probe-tuned entry (session or
+    persisted), or None (pilot not yet run -> per-width env default
+    inside the traversal)."""
+    from chroma_tpu import perfcache
     spec = os.environ.get('CHROMA_TRAV_STAGES')
     if spec is not None:
         return _parse_schedule(spec)
-    return _STAGE_CACHE.get(id(geometry))
+    pk = perf_key(geometry)
+    if pk in _STAGE_CACHE:
+        return _STAGE_CACHE[pk]
+    if perfcache.persistent(pk):
+        ent = perfcache.load(pk).get('flat_stage')
+        if ent is not None:
+            stages = perfcache.as_tuples(ent)
+            _STAGE_CACHE[pk] = stages
+            return stages
+    return None
+
+
+def _sched_lookup(geometry, n, max_steps):
+    """Tuned (schedule, per-stage traversal specs) for this (geometry,
+    batch, max_steps) — session cache first, then the persisted perf
+    entry; (None, None) before any probe has run."""
+    from chroma_tpu import perfcache
+    pk = perf_key(geometry)
+    ck = (pk, n, int(max_steps))
+    if ck in _SCHED_CACHE:
+        return _SCHED_CACHE[ck], _PSTAGE_CACHE.get(ck)
+    if perfcache.persistent(pk):
+        data = perfcache.load(pk)
+        suffix = '%d:%d' % (n, int(max_steps))
+        sched = data.get('sched:' + suffix)
+        if sched is not None:
+            sched = perfcache.as_tuples(sched)
+            _SCHED_CACHE[ck] = sched
+            pstages = data.get('pstages:' + suffix)
+            if pstages is not None:
+                _PSTAGE_CACHE[ck] = perfcache.as_tuples(pstages)
+            return sched, _PSTAGE_CACHE.get(ck)
+    return None, None
 
 
 def schedule_for(geometry, n, max_steps=100):
@@ -784,7 +852,7 @@ def schedule_for(geometry, n, max_steps=100):
     spec = os.environ.get('CHROMA_FUSED_SCHEDULE')
     if spec is not None:
         return _trim_schedule(_parse_schedule(spec), n)
-    cached = _SCHED_CACHE.get((id(geometry), n))
+    cached, _ = _sched_lookup(geometry, n, max_steps)
     if cached is not None:
         return cached
     return _trim_schedule(PROBE_SCHEDULE, n)
@@ -792,7 +860,7 @@ def schedule_for(geometry, n, max_steps=100):
 
 def propagate(photons, geometry, key, max_steps=100, use_weights=False,
               scatter_first=0, compact=True, step_chunk=DEFAULT_STEP_CHUNK,
-              track_steps=False):
+              track_steps=False, extract_m=0):
     """Propagate a PhotonState to termination or `max_steps`.
 
     Returns the final PhotonState (same length/order as the input).
@@ -804,6 +872,12 @@ def propagate(photons, geometry, key, max_steps=100, use_weights=False,
     device program with a static compaction schedule (_fused_bomb) —
     zero intermediate host syncs. The chunked driver below remains for
     tracking (needs per-chunk snapshots) and compact=False.
+
+    extract_m > 0 (tuned-bomb path only): returns (result, bundle) where
+    bundle = (packed detected PhotonState, channels, n_detected, abort)
+    device arrays from the SAME program — the Simulation hot path — or
+    (result, None) when this bomb was the probe (caller extracts
+    separately). The caller owns the abort warning in that mode.
     """
     n = len(photons)
     # traversal pruning needs the true boundary distance to be irrelevant;
@@ -812,7 +886,9 @@ def propagate(photons, geometry, key, max_steps=100, use_weights=False,
 
     if (USE_FUSED and compact and not track_steps
             and isinstance(scatter_first, int)):
-        ck = (id(geometry), n)
+        from chroma_tpu import perfcache
+        pk = perf_key(geometry)
+        ck = (pk, n, int(max_steps))
         stages = stages_for(geometry)
         if stages is None:
             # the visit-distribution pilot tunes CARRIED-STATE staging
@@ -829,28 +905,41 @@ def propagate(photons, geometry, key, max_steps=100, use_weights=False,
                     stages = _tune_stages(photons, geometry, key,
                                           bool(use_weights),
                                           int(scatter_first), prune)
-                _STAGE_CACHE[id(geometry)] = stages
+                _STAGE_CACHE[pk] = stages
+                perfcache.update(pk, {'flat_stage': stages})
             else:
                 stages = ()
         env = os.environ.get('CHROMA_FUSED_SCHEDULE')
+        pstages = None
         if env is not None:
             sched = _trim_schedule(_parse_schedule(env), n)
         else:
-            sched = _SCHED_CACHE.get(ck)
+            sched, pstages = _sched_lookup(geometry, n, max_steps)
         if sched is not None:
             # per-fused-stage traversal specs when tuned (each bucket's
             # population has a different visit tail); flat spec (env or
             # pilot) otherwise
             tstages = None
             if os.environ.get('CHROMA_TRAV_STAGES') is None:
-                tstages = _PSTAGE_CACHE.get(ck)
+                tstages = pstages
             if tstages is None:
                 tstages = stages
             with profiler.region('propagate.fused[n=%d]' % n):
-                result = _fused_bomb(photons, geometry, key, sched,
-                                     int(max_steps), bool(use_weights),
-                                     int(scatter_first), prune,
-                                     trav_stages=tstages)
+                out = _fused_bomb(photons, geometry, key, sched,
+                                  int(max_steps), bool(use_weights),
+                                  int(scatter_first), prune,
+                                  trav_stages=tstages,
+                                  extract_m=int(extract_m))
+            if extract_m:
+                # bundle = (packed hits, channels, n_det, abort); the
+                # caller fetches everything in one transfer and owns
+                # the abort warning
+                return out[0], tuple(out[1:])
+            result, abort = out
+            if bool(abort):
+                from chroma_tpu.log import logger
+                logger.warning('ABORTED PHOTONS')
+            return result
         else:
             # first bomb on this (geometry, batch): run the conservative
             # probe schedule, reporting the alive count at every stage
@@ -858,25 +947,32 @@ def propagate(photons, geometry, key, max_steps=100, use_weights=False,
             # the measured survival curve
             probe = _trim_schedule(PROBE_SCHEDULE, n)
             with profiler.region('propagate.probe[n=%d]' % n):
-                result, counts = _fused_bomb(
+                result, counts, abort = _fused_bomb(
                     photons, geometry, key, probe, int(max_steps),
                     bool(use_weights), int(scatter_first), prune,
                     report=True, trav_stages=stages)
             # counts is the PER-STEP survival curve (alive after steps
             # 1..len); clamp the tail after an early exit (stays 0)
             counts = np.maximum(np.asarray(counts), 0)
-            _PROBE_COUNTS[ck] = counts      # diagnostics (chroma-profile)
+            _PROBE_COUNTS[(pk, n)] = counts  # diagnostics (chroma-profile)
             bsteps = list(range(1, len(counts) + 1))
             _SCHED_CACHE[ck] = _tune_schedule(
                 n, bsteps, counts, int(max_steps))
-            dists = _DIST_CACHE.get(id(geometry))
+            dists = _DIST_CACHE.get(pk)
             if dists and _SCHED_CACHE[ck]:
                 _PSTAGE_CACHE[ck] = _tune_stage_specs(
                     n, _SCHED_CACHE[ck], int(max_steps), dists, stages)
-        if bool(_any_aborted(result)):
-            from chroma_tpu.log import logger
-            logger.warning('ABORTED PHOTONS')
-        return result
+            suffix = '%d:%d' % (n, int(max_steps))
+            perfcache.update(pk, {
+                'sched:' + suffix: _SCHED_CACHE[ck],
+                'pstages:' + suffix: _PSTAGE_CACHE.get(ck),
+            })
+            if bool(abort):
+                from chroma_tpu.log import logger
+                logger.warning('ABORTED PHOTONS')
+            if extract_m:
+                return result, None     # probe: caller extracts separately
+            return result
 
     # everything below stays device-resident: the only per-chunk host
     # traffic is the 4-byte alive count

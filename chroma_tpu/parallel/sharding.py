@@ -183,9 +183,11 @@ def _fused_bomb_program(mesh, schedule, max_steps, use_weights,
         @partial(jax.shard_map, mesh=mesh,
                  in_specs=(P(AXIS), P(), P()), out_specs=P(AXIS))
         def _run(ph, geom, key):
-            return _fused_bomb_impl(ph, geom, _shard_key(key), schedule,
-                                    max_steps, use_weights,
-                                    scatter_first, prune)
+            out, _abort = _fused_bomb_impl(ph, geom, _shard_key(key),
+                                           schedule, max_steps,
+                                           use_weights, scatter_first,
+                                           prune)
+            return out
 
         return _run(ph, geom, key)
 

@@ -184,6 +184,8 @@ class Simulation(object):
             # snapshot at, so tracking runs single-device
             logger.warning('photon_tracking=True: ignoring mesh=%s and '
                            'propagating single-device', self.mesh)
+        want_hits = self.has_channels and (keep_hits or keep_flat_hits)
+        batch_hits = None
         if self.mesh is not None and not self.photon_tracking:
             # multi-chip: pad to the mesh, shard the photon axis, un-pad
             from chroma_tpu.parallel import propagate_sharded, pad_to_mesh
@@ -195,6 +197,13 @@ class Simulation(object):
                                        step_chunk=self.step_chunk)
             if len(result) != true_n:
                 result = jtu.tree_map(lambda a: a[:true_n], result)
+        elif want_hits and not self.photon_tracking:
+            # hot path: propagation + flat-hit extraction fused into one
+            # device program, one host sync, one minority transfer
+            with profiler.region('sim.propagate_with_hits'):
+                result, batch_hits = daq_ops.propagate_with_hits(
+                    state, self.gpu_geometry, key, max_steps=max_steps,
+                    step_chunk=self.step_chunk)
         else:
             result = propagate(state, self.gpu_geometry, key,
                                max_steps=max_steps,
@@ -208,15 +217,13 @@ class Simulation(object):
             logger.info('batch of %d photons took %.2f s'
                         % (nbatch, time.perf_counter() - t_start))
 
-        # hit extraction runs ON DEVICE and fully jitted (one pack + one
-        # gather launch): the channel map resolves from the propagated
-        # state, detected lanes are front-packed, and only that minority
-        # is transferred (reference count->alloc->copy kernels,
+        # hit extraction runs ON DEVICE and fully jitted: on the fused
+        # path above it already happened inside the bomb program; other
+        # paths pay one pack + one gather launch. Only the detected
+        # minority is transferred (reference count->alloc->copy kernels,
         # gpu/photon.py:141-209). The full-batch readback (~0.8 s per 1M
         # photons through the remote tunnel) happens only when the caller
         # asked for every end-state.
-        want_hits = self.has_channels and (keep_hits or keep_flat_hits)
-
         photons_end = None
         if keep_photons_end or self.photon_tracking:
             with profiler.region('sim.readback'):
@@ -227,7 +234,7 @@ class Simulation(object):
                     photons_end.channel = np.maximum(
                         np.asarray(channel_dev), 0).astype(np.uint32)
 
-        if want_hits:
+        if want_hits and batch_hits is None:
             with profiler.region('sim.hit_extraction'):
                 batch_hits = daq_ops.extract_flat_hits(
                     result, self.gpu_geometry)

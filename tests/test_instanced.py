@@ -266,7 +266,7 @@ def test_per_stage_trav_specs_equivalence():
         evidx=jnp.zeros(n, jnp.uint32),
         cur_mat=jnp.full(n, -1, jnp.int32))
 
-    ck = (id(ga), n)
+    ck = (P.perf_key(ga), n, 12)
     try:
         P._SCHED_CACHE[ck] = ((2, 2), (4, 2))
         outs = []

@@ -379,8 +379,14 @@ def visit_inst(rows, cur, depth, btri, d_inst, tbase, iid, bases, masks,
     rows_spec = pl.BlockSpec((tb, 128, W), lambda g: (g, 0, 0),
                              memory_space=pltpu.VMEM)
     flat = spec()
-    i32 = jax.ShapeDtypeStruct((nb, 128), jnp.int32)
-    f32 = jax.ShapeDtypeStruct((nb, 128), jnp.float32)
+    # under shard_map the per-shard operands carry varying-mesh-axes
+    # metadata; pallas_call outputs must declare the same vma or the
+    # check_vma pass rejects the program (first hit by the multichip
+    # dryrun once it forced the kernel path — the single-chip jit sees
+    # an empty vma and is unaffected)
+    vma = jax.typeof(cur).vma
+    i32 = jax.ShapeDtypeStruct((nb, 128), jnp.int32, vma=vma)
+    f32 = jax.ShapeDtypeStruct((nb, 128), jnp.float32, vma=vma)
     out = pl.pallas_call(
         kern,
         grid=(nb // tb,),
@@ -391,7 +397,7 @@ def visit_inst(rows, cur, depth, btri, d_inst, tbase, iid, bases, masks,
                         + [flat] * 5 + [flat] * 6),
         out_shape=tuple(
             [i32] * 6
-            + [jax.ShapeDtypeStruct((D, nb, 128), jnp.int32)] * 2
+            + [jax.ShapeDtypeStruct((D, nb, 128), jnp.int32, vma=vma)] * 2
             + [f32] + [i32, f32, f32, f32, i32] + [f32] * 6),
         interpret=interpret,
     )(rows, cur, depth, btri, d_inst, tbase, iid, bases, masks, bd,

@@ -180,7 +180,13 @@ def _fused_bomb_program(mesh, schedule, max_steps, use_weights,
     @jax.jit
     def run(ph, geom, key):
 
-        @partial(jax.shard_map, mesh=mesh,
+        # check_vma=False: the bomb body is purely per-shard (zero
+        # collectives), and the interpret-mode Pallas visit kernel mixes
+        # varying arrays with literal constants in ways the vma checker
+        # rejects (auto-pvary is not applied inside interpreted
+        # pallas_call bodies). The collective-bearing programs
+        # (_steps_program, _daq_program) keep their vma checks.
+        @partial(jax.shard_map, mesh=mesh, check_vma=False,
                  in_specs=(P(AXIS), P(), P()), out_specs=P(AXIS))
         def _run(ph, geom, key):
             out, _abort = _fused_bomb_impl(ph, geom, _shard_key(key),

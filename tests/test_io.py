@@ -62,10 +62,31 @@ def test_round_trip():
         assert r.jump_to(99) is None
 
 
-def test_root_bridge_round_trip():
-    "Reference-schema ROOT I/O (skipped without PyROOT)."
-    import pytest
-    pytest.importorskip('ROOT')
+def test_root_bridge():
+    """The ROOT bridge's documented contract, asserted in EVERY
+    environment (no skips): npz is the NATIVE interchange format
+    (docs/parity.md); the PyROOT bridge emits the reference TTree layout
+    but is best-effort. Where PyROOT exists this round-trips an event
+    through a real .root file; where it does not (this image has no
+    ROOT), the bridge must raise an explicit ImportError pointing at the
+    npz alternative — never fail silently or half-write a file."""
+    from chroma_tpu.io import root as root_io
+
+    if not root_io.HAS_ROOT:
+        import pytest
+        with pytest.raises(ImportError) as ei:
+            root_io.RootWriter('/tmp/never-created.root')
+        assert 'npz' in str(ei.value)
+        with pytest.raises(ImportError):
+            root_io.RootReader('/tmp/never-created.root')
+        assert not os.path.exists('/tmp/never-created.root')
+        return
+
+    _root_round_trip()
+
+
+def _root_round_trip():
+    "Reference-schema ROOT I/O round trip (PyROOT environments)."
     import tempfile
     import numpy as np
     from chroma_tpu import event

@@ -129,8 +129,13 @@ def measure_rays(ga, nrays, reps):
     import jax
     import numpy as np
     from chroma_tpu.ops.mesh_wide import intersect_mesh_wide
+    from chroma_tpu.ops.propagate import stages_for
 
-    f = jax.jit(lambda p, d, l: intersect_mesh_wide(p, d, ga.wide, l)[1])
+    # the tuned staging spec the propagation hot path runs with (the
+    # lockstep loop otherwise pays the batch's MAX visit count)
+    stages = stages_for(ga) or ()
+    f = jax.jit(lambda p, d, l: intersect_mesh_wide(p, d, ga.wide, l,
+                                                    stages=stages)[1])
     best = float('inf')
     for rep in range(reps + 1):
         ps = photon_bomb(nrays, 1000 + rep)

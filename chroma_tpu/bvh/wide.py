@@ -466,6 +466,14 @@ def _emit_wide_rows(bn, fanout, width, make_leaf_row, packed=False,
     d = np.maximum(bhi - blo, 0.0)
     areas = d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0]
 
+    # subtree leaf counts, children-before-parents (nodes are allocated
+    # parent-first by _binary_sah_build, so a reverse sweep suffices)
+    nnode = len(left)
+    leafcount = np.ones(nnode, np.int64)
+    for v in range(nnode - 1, -1, -1):
+        if left[v] >= 0:
+            leafcount[v] = leafcount[left[v]] + leafcount[right[v]]
+
     rows = []
     leaf_row_index = {}
     max_push_depth = 0
@@ -485,13 +493,20 @@ def _emit_wide_rows(bn, fanout, width, make_leaf_row, packed=False,
     while queue:
         bid, rid, depth = queue.pop()
         max_push_depth = max(max_push_depth, depth)
-        # collapse: expand the largest-area internal child until full
+        # collapse: expand the internal child with the LARGEST SUBTREE
+        # (leaf count; area tiebreak) until the node is full. Expanding
+        # by area alone (round <=3) strips the big boxes and leaves the
+        # many small binary subtrees as 2-child wide nodes — measured on
+        # the 29k-instance headline TLAS: mean 5.0 of 32 child slots
+        # occupied (5663 of 7395 nodes held just 2), costing 7.0
+        # TLAS-internal visits/ray where a leaf-balanced cut needs ~3.
         ch = [int(left[bid]), int(right[bid])]
         while len(ch) < fanout:
-            bi, ba = -1, -1.0
+            bi, bk = -1, (1, -1.0)
             for j, c in enumerate(ch):
-                if left[c] >= 0 and areas[c] > ba:
-                    ba, bi = float(areas[c]), j
+                k = (int(leafcount[c]), float(areas[c]))
+                if left[c] >= 0 and k > bk:
+                    bk, bi = k, j
             if bi < 0:
                 break
             c = ch.pop(bi)

@@ -227,6 +227,23 @@ def flat_hit_gather(state, geometry_arrays, m):
 _HIT_M_CACHE = {}
 
 
+def _learned_m(n_det, n):
+    """Gather width to learn from a detected count: 7% head-room over
+    the (stable; Poisson-jittery at the per-mille level) count, rounded
+    up to an EIGHTH octave. The minority transfer is the dominant
+    Simulation-vs-raw-propagate cost through the remote tunnel
+    (measured: a 49152-lane bundle = 3.1 MB took 0.26 s — ~12 MB/s), so
+    head-room is bytes on the wire every event; pow2 rounding wasted up
+    to half of it. An undersized width costs one regather + second
+    transfer on the rare event that overshoots, and each distinct width
+    mints one program (extract_m is static) — eighth-octave granularity
+    bounds that at 8/octave with 1-2 used in practice."""
+    import numpy as np
+    want = int(n_det * 1.07) + 1
+    step = 1 << max(int(want).bit_length() - 3, 10)
+    return min(max(MIN_HIT_M, -(-want // step) * step), n)
+
+
 def extract_flat_hits(state, geometry_arrays):
     """Detected photons as a host event.Photons with channels: device
     count + front-pack, transfer of (just over) the detected minority
@@ -250,8 +267,7 @@ def extract_flat_hits(state, geometry_arrays):
         while m < n:          # undersized guess: retry once, bigger
             m <<= 1
         m = min(m, len(state))
-    learned = m if m <= 2 * max(n, 1) else max(
-        MIN_HIT_M, 1 << int(np.ceil(np.log2(max(n, 1)))))
+    learned = _learned_m(n, len(state))
     if _HIT_M_CACHE.get(ck) != learned:
         _HIT_M_CACHE[ck] = learned
         perfcache.update(pk, {'hit_m:%d' % len(state): learned})
@@ -313,8 +329,7 @@ def propagate_with_hits(state, geometry_arrays, key, max_steps=100,
         m = min(m, n)
         sub_d, ch_d, _ = flat_hit_gather(result, geometry_arrays, m)
         sub, ch = jax.device_get((sub_d, ch_d))
-    learned = m if m <= 2 * max(n_det, 1) else max(
-        MIN_HIT_M, 1 << int(np.ceil(np.log2(max(n_det, 1)))))
+    learned = _learned_m(n_det, n)
     if _HIT_M_CACHE.get(ck) != learned:
         _HIT_M_CACHE[ck] = learned
         perfcache.update(pk, {'hit_m:%d' % n: learned})

@@ -745,59 +745,124 @@ def _visit_sample(photons, geometry, k, n_valid):
     return np.asarray(v)[:min(n_valid, k)]
 
 
-# width thresholds for the per-bucket traversal staging policy,
-# measured on an all-alive deep-survivor population (headline detector,
-# ms/step at (48,16) / (48,8) / (48,4) / unstaged):
-#   393216: 176 /  95 / 109 / 194      98304: 43 / 25 / 28 / 42
-#    65536:  75 /  61 /  21 /  29      32768: 40 / 34 / 39 / 17
-#    16384:  24 /  21 /  23 /  12
-# Above ~98k lanes div-8 staging halves the step (per-lane cost a flat
-# ~240-260 ns); below ~49k the staged tail's ~80 lockstep iterations at
-# tiny slice widths are pure loop floor and UNSTAGED wins — schedules
-# whose small buckets ran the flat (48,16) spec measured 3x slower
-# end-to-end (945k vs 234-310k photons/s) than identical schedules
-# without small staged buckets.
-STAGE_DIV8_MIN = 98304
-STAGE_DIV4_MIN = 49152
+# Traversal staging cost model (headline detector, v5e, measured via
+# per-step sweeps at several widths/populations — /tmp/prof5 method):
+# one lockstep visit costs ~4.3 ps/lane + ~0.08 ms floor; a staging
+# boundary (front-pack + packed fat-row state move + sub-loop entry)
+# costs ~8 ms fixed + ~14 ps/lane. Overflow past a boundary's slice
+# runs to completion at the stage's FULL width, so the divisor
+# constraint carries a 2x margin on the measured still-walking
+# fraction — a spec one notch too tight measured 4-20x slower
+# ((24,8) on a depth-3 262k bucket: 1188 vs 281 ns/lane).
+VISIT_MS_PER_LANE = float(os.environ.get('CHROMA_VISIT_MS_PER_LANE',
+                                         '4.4e-6'))
+VISIT_MS_FLOOR = float(os.environ.get('CHROMA_VISIT_MS_FLOOR', '0.08'))
+BOUND_MS_FIXED = float(os.environ.get('CHROMA_BOUND_MS_FIXED', '10.0'))
+BOUND_MS_PER_LANE = float(os.environ.get('CHROMA_BOUND_MS_PER_LANE',
+                                         '25e-6'))
+BOUND_MS_PER_SLICE = float(os.environ.get('CHROMA_BOUND_MS_PER_SLICE',
+                                          '30e-6'))
+STAGE_MARGIN = float(os.environ.get('CHROMA_STAGE_MARGIN', '2.0'))
 
 
-def _spec_for_width(w, b):
-    "Traversal staging spec for a compaction bucket of width w."
-    if w >= STAGE_DIV8_MIN:
-        return ((b, 8),)
-    if w >= STAGE_DIV4_MIN:
-        return ((b, 4),)
-    return ()
+def _visit_ms(w):
+    return VISIT_MS_PER_LANE * w + VISIT_MS_FLOOR
 
 
-def _tune_stage_specs(n, sched, max_steps, dists, flat_spec):
-    """Per-fused-stage traversal staging specs, width-aware.
+def _bound_ms(w, m):
+    # front-pack reads the full width; the packed fat-row state move
+    # writes the m-lane slice (bigger divisors are cheaper boundaries)
+    return (BOUND_MS_FIXED + BOUND_MS_PER_LANE * w
+            + BOUND_MS_PER_SLICE * m)
 
-    Stage 0's population is exactly the depth-0 source rays (tight for
-    a point source — headline max 43 visits, zero lanes past 48), so it
-    gets the earliest boundary holding 2x its own walkers. Every later
-    bucket uses the flat tuned boundary with a width-dependent divisor
-    (see _spec_for_width): staging saves full-width visits at large
-    widths but is pure loop-floor loss at small ones. Raising deep
-    buckets' BOUNDARY where their tail is heavy was also measured and
-    lost ((32,56,56,64) per bucket: 727k vs 828k photons/s) — mild
-    overflow into the in-traversal mop-up is cheaper than extra
-    full-width visits."""
-    if not dists or 0 not in dists or not flat_spec:
+
+def _best_stage_spec(width, a_frac, visits):
+    """Cost-model pick of a traversal staging spec for one compaction
+    bucket: `width` lanes of which a fraction `a_frac` enter alive,
+    with per-ALIVE-lane visit counts sampled in `visits` (np array).
+
+    Enumerates one- and two-boundary specs ((b, div), ...), keeping
+    only those whose still-walking fraction (relative to the bucket
+    WIDTH — dead lanes pad the denominator) times STAGE_MARGIN fits
+    the 1/div slice at every boundary, and returns the modeled-cheapest
+    of those and the unstaged loop. The unroll-2 loop quantizes b to
+    even counts; slices must hold >= 1024 lanes and divide 256."""
+    v = np.sort(np.asarray(visits))
+    if not len(v):
+        return ()
+    vmax = int(v[-1])
+
+    def walking(b):
+        # fraction of the BUCKET still walking at visit b
+        return a_frac * float(np.mean(v > b))
+
+    def tail_cost(b, w):
+        # bounded loop to the survivors' max visit count at width w
+        return max(vmax - b, 0) * _visit_ms(w)
+
+    best = (vmax * _visit_ms(width), ())
+    bs = range(8, max(vmax, 9), 4)
+    for b1 in bs:
+        f1 = walking(b1) * STAGE_MARGIN
+        for d1 in (2, 4, 8, 16):
+            m1 = width // d1
+            if m1 < 1024 or m1 % 256 or f1 > 1.0 / d1:
+                continue
+            c1 = b1 * _visit_ms(width) + _bound_ms(width, m1)
+            one = c1 + tail_cost(b1, m1)
+            if one < best[0]:
+                best = (one, ((b1, d1),))
+            for b2 in bs:
+                if b2 <= 0:
+                    continue
+                f2 = walking(b1 + b2) * STAGE_MARGIN
+                for d2 in (2, 4):
+                    m2 = m1 // d2
+                    if m2 < 1024 or m2 % 256 or f2 > 1.0 / (d1 * d2):
+                        continue
+                    two = (c1 + b2 * _visit_ms(m1) + _bound_ms(m1, m2)
+                           + tail_cost(b1 + b2, m2))
+                    if two < best[0]:
+                        best = (two, ((b1, d1), (b2, d2)))
+    return best[1]
+
+
+def _dist_at(dists, step):
+    "Measured visit distribution at the shallowest depth >= step."
+    ds = sorted(dists)
+    for d in ds:
+        if d >= step:
+            return dists[d]
+    return dists[ds[-1]]
+
+
+def _tune_stage_specs(n, sched, max_steps, dists, flat_spec,
+                      alive_counts=None):
+    """Per-fused-stage traversal staging specs from the measured visit
+    distributions (pilot, _tune_stages) + survival curve (probe bomb).
+
+    Each fused-schedule stage runs a bucket of known width with a known
+    expected alive fraction and a visit distribution that deepens with
+    propagation depth (headline: p99 goes 31 -> 66 between step 0 and
+    step 3); _best_stage_spec picks the cheapest staging spec for each
+    from the measured cost model. The probe's survival curve supplies
+    the alive fractions; the visit distribution for a stage entering at
+    step s is the pilot's next-deeper measurement (conservative: deeper
+    populations walk longer)."""
+    if not dists or 0 not in dists:
         return None
-    v0 = dists[0]
-    div, margin = 16, 2.0
-    flat_b = flat_spec[0][0]
-    b0 = None
-    for b in range(8, flat_b, 8):
-        if float(np.mean(v0 > b)) * margin <= 1.0 / div:
-            b0 = b
-            break
-    specs = [((b0, div),) if b0 is not None else flat_spec]
+    specs = [_best_stage_spec(n, 1.0, dists[0])]
     width = n
+    step = 0
     for ent in sched:
+        step += int(ent[0])
         width = _resolve_width(width, ent)
-        specs.append(_spec_for_width(width, flat_b))
+        if alive_counts is not None and 0 < step <= len(alive_counts):
+            a_frac = min(float(alive_counts[step - 1]) / width, 1.0)
+        else:
+            a_frac = 1.0 / 1.3
+        specs.append(_best_stage_spec(width, a_frac,
+                                      _dist_at(dists, step)))
     return tuple(specs)
 
 
@@ -961,7 +1026,8 @@ def propagate(photons, geometry, key, max_steps=100, use_weights=False,
             dists = _DIST_CACHE.get(pk)
             if dists and _SCHED_CACHE[ck]:
                 _PSTAGE_CACHE[ck] = _tune_stage_specs(
-                    n, _SCHED_CACHE[ck], int(max_steps), dists, stages)
+                    n, _SCHED_CACHE[ck], int(max_steps), dists, stages,
+                    alive_counts=counts)
             suffix = '%d:%d' % (n, int(max_steps))
             perfcache.update(pk, {
                 'sched:' + suffix: _SCHED_CACHE[ck],

@@ -399,6 +399,13 @@ def visit_inst(rows, cur, depth, btri, d_inst, tbase, iid, bases, masks,
             [i32] * 6
             + [jax.ShapeDtypeStruct((D, nb, 128), jnp.int32, vma=vma)] * 2
             + [f32] + [i32, f32, f32, f32, i32] + [f32] * 6),
+        # every state operand is a pure in->out pair consumed exactly
+        # once by the traversal while_loop carry: alias them so Mosaic
+        # updates the buffers in place instead of allocating + copying
+        # ~20 fresh (N,)-row outputs per visit (inputs 1..20 line up
+        # with outputs 0..19; input 0 is the gathered rows, 21/22 the
+        # constant ray registers / last-hit exclusion)
+        input_output_aliases={i: i - 1 for i in range(1, 21)},
         interpret=interpret,
     )(rows, cur, depth, btri, d_inst, tbase, iid, bases, masks, bd,
       *hctx, *loc, rays, last)

@@ -80,8 +80,17 @@ class Simulation(object):
         self._pdf = None
 
     def _next_key(self):
-        self._key, sub = jax.random.split(self._key)
-        return sub
+        """Per-event subkey from a host-side pool: splitting on device
+        per event costs an eager dispatch through the remote runtime, so
+        keys are split 64 at a time, pulled to the host once, and
+        re-wrapped per event (one async upload, no device compute)."""
+        if not getattr(self, '_key_pool', None):
+            keys = jax.random.split(self._key, 65)
+            self._key = keys[0]
+            data = jax.device_get(jax.random.key_data(keys[1:]))
+            self._key_pool = [row for row in data]
+        return jax.random.wrap_key_data(
+            jax.numpy.asarray(self._key_pool.pop()))
 
     @property
     def has_channels(self):

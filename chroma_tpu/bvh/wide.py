@@ -115,6 +115,74 @@ def _pack_bounds_words(lo, hi, pf):
     return words.view(np.float32)
 
 
+def _pack_bounds_q8(lo, hi, pf):
+    """Pack per-child AABB bounds 8-BIT QUANTIZED against the node's own
+    box (the CWBVH scheme, adapted): per node, 3 f32 anchors (min child
+    lo) + 3 f32 scales ((max child hi - anchor)/255), then 6 groups of
+    pf/4 words holding one byte per child: child c's byte sits in word
+    c >> 2, byte lane c & 3, groups ordered [lo_x, lo_y, lo_z, hi_x,
+    hi_y, hi_z]. lo bytes round DOWN and hi bytes round UP, so decoded
+    boxes only grow — culling stays conservative; the growth is bounded
+    by one scale unit (node extent / 255) per face. Empty slots encode
+    lo=255 / hi=0, which decodes to an inverted (never-hit) interval for
+    finite ray axes and fails the origin-containment test for exact
+    zero-direction axes (anchor + 255*scale >= every child hi).
+
+    lo, hi: (..., pf, 3) f32 (np.nan marks empty). Returns
+    (..., 6 + 6 * pf // 4) f32: anchors(3), scales(3), q words.
+    Total 54 columns at pf=32 — a fanout-32 node in ~half the bf16-pair
+    footprint, and the uniform row width drops to the leaf-block width
+    (the gathered row is touched three times per visit, so bound bytes
+    are paid thrice)."""
+    empty = np.isnan(lo[..., 0])                       # (..., pf)
+    anchor = np.nanmin(np.where(empty[..., None], np.inf, lo), axis=-2)
+    top = np.nanmax(np.where(empty[..., None], -np.inf, hi), axis=-2)
+    anchor = np.where(np.isfinite(anchor), anchor, 0.0).astype(np.float32)
+    top = np.where(np.isfinite(top), top, 1.0).astype(np.float32)
+    scale = np.maximum((top - anchor) / 255.0, 1e-30).astype(np.float32)
+
+    rel_lo = (lo - anchor[..., None, :]) / scale[..., None, :]
+    rel_hi = (hi - anchor[..., None, :]) / scale[..., None, :]
+    # one extra quantum each side: the decode anchor + q * scale is an
+    # f32 fma whose rounding could otherwise shave an ulp off the
+    # conservative bound (the bf16 packer solves this with directed
+    # VALUE rounding; bytes have no such trick)
+    q_lo = np.clip(np.floor(rel_lo) - 1, 0, 255)
+    q_hi = np.clip(np.ceil(rel_hi) + 1, 0, 255)
+    q_lo = np.where(empty[..., None], 255.0, q_lo).astype(np.uint32)
+    q_hi = np.where(empty[..., None], 0.0, q_hi).astype(np.uint32)
+
+    nw = pf // 4
+    parts = [anchor, scale]
+    for arr in (q_lo, q_hi):
+        for ax in range(3):
+            b = arr[..., ax]                           # (..., pf)
+            w = (b[..., 0::4] | (b[..., 1::4] << 8)
+                 | (b[..., 2::4] << 16) | (b[..., 3::4] << 24))
+            parts.append(np.ascontiguousarray(w.astype(np.uint32))
+                         .view(np.float32))
+    assert sum(p.shape[-1] for p in parts) == 6 + 6 * nw
+    return np.concatenate(
+        [p.astype(np.float32, copy=False) for p in parts], axis=-1)
+
+
+# bounds-format helpers: column span of the bounds block and the packer
+def bounds_cols(fmt, fanout):
+    "Number of row columns the child-bounds block occupies."
+    if fmt == 'q8':
+        return 6 + 6 * (fanout // 4)
+    if fmt == 'bf16':
+        return 3 * fanout
+    return 6 * fanout
+
+
+def pack_bounds(fmt, lo, hi, fanout):
+    "Dispatch to the format's packer (f32 writes are done by callers)."
+    if fmt == 'q8':
+        return _pack_bounds_q8(lo, hi, fanout)
+    return _pack_bounds_words(lo, hi, fanout)
+
+
 @struct.dataclass
 class WideBVH:
     # unified fat-row f32 table so each traversal iteration issues exactly
@@ -344,6 +412,18 @@ class InstancedBVH:
     leaf_size: int = struct.field(pytree_node=False)
     n_instances: int = struct.field(pytree_node=False)
     packed: bool = struct.field(pytree_node=False, default=False)
+    # child-bounds encoding: 'f32', 'bf16' (pairs), or 'q8' (byte
+    # quantized against per-node anchors; see _pack_bounds_q8). None on
+    # tables from older caches — resolve through fmt_of().
+    bounds_fmt: str = struct.field(pytree_node=False, default=None)
+
+
+def fmt_of(wide):
+    "Resolved child-bounds format of an instanced table."
+    fmt = getattr(wide, 'bounds_fmt', None)
+    if fmt:
+        return fmt
+    return 'bf16' if getattr(wide, 'packed', False) else 'f32'
 
 
 def _binary_sah_build(lo, hi, max_leaf, nbins=16):
@@ -444,7 +524,7 @@ def _binary_sah_build(lo, hi, max_leaf, nbins=16):
 
 
 def _emit_wide_rows(bn, fanout, width, make_leaf_row, packed=False,
-                    b0=0):
+                    b0=0, fmt=None):
     """Collapse a binary SAH tree into tagged wide rows.
 
     make_leaf_row(node_id) -> (width,) f32 row for a binary leaf (tagged by
@@ -452,15 +532,16 @@ def _emit_wide_rows(bn, fanout, width, make_leaf_row, packed=False,
     are emitted as one contiguous block; the parent stores the block's first
     row. Returns (rows, leaf_row_of_binary_leaf dict, max_push_depth).
 
-    With packed=True, internal rows store child bounds as bf16 pairs
-    (_pack_bounds_words): 6 * fanout // 2 words, then the first-child
-    pointer — a fanout-32 node in 98 columns instead of 194.
+    fmt selects the child-bounds encoding ('f32', 'bf16' pairs, 'q8'
+    byte-quantized — see _pack_bounds_q8); packed=True is the legacy
+    spelling of 'bf16'.
 
     b0: column where the bounds block starts (instanced tables reserve
     cols 0..13 for the instance transform so instance rows can EMBED
     their BLAS root's child bounds — one traversal visit per instance
     entry instead of two).
     """
+    fmt = fmt or ('bf16' if packed else 'f32')
     left, right = bn['left'], bn['right']
     blo, bhi = bn['lo'], bn['hi']
     d = np.maximum(bhi - blo, 0.0)
@@ -515,14 +596,14 @@ def _emit_wide_rows(bn, fanout, width, make_leaf_row, packed=False,
         row = np.zeros(width, np.float32)
         clo = np.full((fanout, 3), np.nan, np.float32)
         chi = np.full((fanout, 3), np.nan, np.float32)
-        if not packed:
+        if fmt == 'f32':
             row[b0:b0 + 6 * fanout] = np.nan
         first = None
         for j, c in enumerate(ch):
             crid = alloc_row()
             if first is None:
                 first = crid
-            if packed:
+            if fmt != 'f32':
                 clo[j] = blo[c]
                 chi[j] = bhi[c]
             else:
@@ -534,9 +615,9 @@ def _emit_wide_rows(bn, fanout, width, make_leaf_row, packed=False,
             else:
                 rows[crid] = make_leaf_row(c)
                 leaf_row_index[c] = crid
-        nw = 6 * (fanout // 2) if packed else 6 * fanout
-        if packed:
-            row[b0:b0 + nw] = _pack_bounds_words(clo, chi, fanout)
+        nw = bounds_cols(fmt, fanout)
+        if fmt != 'f32':
+            row[b0:b0 + nw] = pack_bounds(fmt, clo, chi, fanout)
         row[b0 + nw] = np.int32(first).view(np.float32)
         row[width - 1] = np.int32(TAG_INTERNAL).view(np.float32)
         rows[rid] = row
@@ -568,9 +649,10 @@ def _tri_leaf_row_maker(bn, tri, width, leaf_size, codes):
 
 
 def _blas_rows(mesh, fanout, leaf_size, width, sah_threshold, codes,
-               packed=False, b0=0):
+               packed=False, b0=0, fmt=None):
     """Local-frame BLAS rows for one unique mesh (codes: per-local-tri
     packed u32). Returns (rows (R,width) f32, max_push_depth)."""
+    fmt = fmt or ('bf16' if packed else 'f32')
     vertices = mesh.vertices.astype(np.float32)
     tri = vertices[mesh.triangles.astype(np.int64)]  # (T,3,3)
     ntri = len(tri)
@@ -584,27 +666,27 @@ def _blas_rows(mesh, fanout, leaf_size, width, sah_threshold, codes,
         rows, _, depth = _emit_wide_rows(
             bn, fanout, width, _tri_leaf_row_maker(bn, tri, width,
                                                    leaf_size, codes),
-            packed=packed, b0=b0)
+            b0=b0, fmt=fmt)
         return rows, depth
 
     # very large unique mesh: fast Morton-leveled build at the f32 base
-    # fanout, then tag the rows (and repack bounds into the bf16-pair
-    # layout when the table is packed — children beyond FANOUT are empty)
-    base_fanout = FANOUT if packed else fanout
+    # fanout, then tag the rows (and repack bounds into the compressed
+    # layout when the table uses one — children beyond FANOUT are empty)
+    base_fanout = fanout if fmt == 'f32' else FANOUT
     w = build_wide_bvh(mesh, fanout=base_fanout, leaf_size=leaf_size,
                        material_codes=codes)
     src = np.asarray(w.rows)
     rows = np.zeros((len(src), width), np.float32)
     nb = w.leaf_base
-    if packed:
+    if fmt != 'f32':
         bb = src[:nb, :6 * base_fanout].reshape(nb, 6, base_fanout)
         clo = np.full((nb, fanout, 3), np.nan, np.float32)
         chi = np.full((nb, fanout, 3), np.nan, np.float32)
         for ax in range(3):
             clo[:, :base_fanout, ax] = bb[:, ax]
             chi[:, :base_fanout, ax] = bb[:, 3 + ax]
-        nw = 6 * (fanout // 2)
-        rows[:nb, b0:b0 + nw] = _pack_bounds_words(clo, chi, fanout)
+        nw = bounds_cols(fmt, fanout)
+        rows[:nb, b0:b0 + nw] = pack_bounds(fmt, clo, chi, fanout)
         rows[:nb, b0 + nw] = src[:nb, 6 * base_fanout]
     else:
         nw = 6 * fanout
@@ -668,7 +750,8 @@ def upgrade_instanced_rows_v3(rows, fanout, leaf_size, packed):
 
 def build_instanced_bvh(instances, fanout=None, leaf_size=LEAF_SIZE,
                         sah_threshold=200000, want_meta=False,
-                        material_codes=None, packed_fanout=None):
+                        material_codes=None, packed_fanout=None,
+                        bounds_fmt=None):
     """Build a two-level (TLAS/BLAS) tagged wide BVH.
 
     instances: list of (mesh, rotation, displacement, tri_base) — the
@@ -687,8 +770,14 @@ def build_instanced_bvh(instances, fanout=None, leaf_size=LEAF_SIZE,
     (chroma_tpu.ops.types.build_instance_arrays).
 
     packed_fanout (default from CHROMA_BVH_PACKED_FANOUT, 0 disables):
-    store internal bounds as bf16 pairs at this even fanout — more
-    children per visit at the same gather bytes.
+    store internal bounds COMPRESSED at this even fanout — more children
+    per visit at the same gather bytes. bounds_fmt picks the encoding
+    for compressed tables ('q8' byte-quantized default via
+    CHROMA_BVH_BOUNDS, or 'bf16' pairs): at fanout 32 / K=8 the q8
+    bounds block is 54 columns against bf16's 96, which drops the
+    UNIFORM row width from 112 to the leaf-dominated 96 — and the
+    gathered row is touched three times per visit (table read, buffer
+    write, kernel read), so bound bytes are paid thrice.
     """
     if packed_fanout is None:
         packed_fanout = PACKED_FANOUT if fanout is None else 0
@@ -699,6 +788,12 @@ def build_instanced_bvh(instances, fanout=None, leaf_size=LEAF_SIZE,
         if packed_fanout % 2 or not 2 <= packed_fanout <= 32:
             raise ValueError('packed_fanout must be even and in [2, 32]')
         fanout = packed_fanout
+    if bounds_fmt is None:
+        bounds_fmt = os.environ.get('CHROMA_BVH_BOUNDS', 'q8') \
+            if packed else 'f32'
+    if bounds_fmt == 'q8' and fanout % 4:
+        raise ValueError('q8 bounds need fanout divisible by 4')
+    fmt = bounds_fmt
     # v4 layout: cols 0..13 are the instance transform block (rot 9,
     # disp 3, tri_base, instance_id), bounds at INST_B0 on BOTH internal
     # and instance rows, first-child pointer right after. Instance rows
@@ -706,7 +801,7 @@ def build_instanced_bvh(instances, fanout=None, leaf_size=LEAF_SIZE,
     # rotates the ray AND sweeps the root's children in ONE visit — at
     # the 29k-instance headline scale instance entries are ~15-25% of
     # all traversal visits and each saved a whole gather+kernel launch.
-    bound_cols = 3 * fanout if packed else 6 * fanout
+    bound_cols = bounds_cols(fmt, fanout)
     width = _pad8(max(INST_B0 + bound_cols + 1, LEAF_STRIDE * leaf_size,
                       15) + 1)
     fc_col = INST_B0 + bound_cols
@@ -751,7 +846,7 @@ def build_instanced_bvh(instances, fanout=None, leaf_size=LEAF_SIZE,
 
     # per-unique-mesh BLAS (local frame)
     blas = [_blas_rows(m, fanout, leaf_size, width, sah_threshold, c,
-                       packed=packed, b0=INST_B0)
+                       b0=INST_B0, fmt=fmt)
             for m, c in zip(unique, unique_codes)]
     # instance world AABBs — EXACT (min/max over the transformed mesh
     # vertices, chunked), not the rotated local-AABB corners: corner
@@ -796,7 +891,7 @@ def build_instanced_bvh(instances, fanout=None, leaf_size=LEAF_SIZE,
         return row
 
     tlas_rows, leaf_row_index, tlas_depth = _emit_wide_rows(
-        bn, fanout, width, make_instance_row, packed=packed, b0=INST_B0)
+        bn, fanout, width, make_instance_row, b0=INST_B0, fmt=fmt)
     tlas_n = len(tlas_rows)
 
     # concatenate [TLAS | BLAS_0 | BLAS_1 | ...], fixing pointers
@@ -831,9 +926,9 @@ def build_instanced_bvh(instances, fanout=None, leaf_size=LEAF_SIZE,
         clo[0] = v.min(axis=0)
         chi[0] = v.max(axis=0)
         sel = inst_rows[(~root_internal) & (mi_of == mi)]
-        if packed:
+        if fmt != 'f32':
             table[np.ix_(sel, np.arange(INST_B0, fc_col))] = \
-                _pack_bounds_words(clo, chi, fanout)
+                pack_bounds(fmt, clo, chi, fanout)
         else:
             table[np.ix_(sel, np.arange(INST_B0, fc_col))] = \
                 np.concatenate([clo[:, 0], clo[:, 1], clo[:, 2],
@@ -853,12 +948,13 @@ def build_instanced_bvh(instances, fanout=None, leaf_size=LEAF_SIZE,
         leaf_size=leaf_size,
         n_instances=n_inst,
         packed=packed,
+        bounds_fmt=fmt,
     )
     # content fingerprint, computed while the table is still host numpy —
     # keys the persisted learned-performance state (chroma_tpu.perfcache)
     from chroma_tpu import perfcache
     perfcache.register(built, perfcache.fingerprint_rows(
-        table, extra=(fanout, leaf_size, packed, n_inst)))
+        table, extra=(fanout, leaf_size, packed, n_inst, fmt)))
     if want_meta:
         return built, meta
     return built

@@ -67,8 +67,8 @@ def _unflatten(prefix, arrays, meta, registry, static_tuples):
         elif key + '.__class__' in meta:
             kwargs[f.name] = _unflatten(key, arrays, meta, registry,
                                         static_tuples)
-        else:
-            v = meta.get(key)
+        elif key in meta:
+            v = meta[key]
             if v is None:
                 kwargs[f.name] = None
             else:
@@ -76,6 +76,9 @@ def _unflatten(prefix, arrays, meta, registry, static_tuples):
                 if isinstance(val, list):
                     val = tuple(val)
                 kwargs[f.name] = val
+        # fields absent from the sidecar (caches written before the
+        # field existed, e.g. InstancedBVH.bounds_fmt) keep the
+        # dataclass default rather than being forced to None
     return cls(**kwargs)
 
 
@@ -134,14 +137,17 @@ def load_geometry_arrays(path, lean=False):
         # the next — persisted schedules and gather widths apply with no
         # fresh probe (chroma_tpu.perfcache)
         from chroma_tpu import perfcache
+        if meta.get('ga.wide.__class__') == 'InstancedBVH':
+            packed = bool(meta.get('ga.wide.packed', [None, False])[1])
+            fmt = meta.get('ga.wide.bounds_fmt') or \
+                [None, 'bf16' if packed else 'f32']
+            extra = (packed, int(meta['ga.wide.n_instances'][1]), fmt[1])
+        else:
+            extra = (int(meta['ga.wide.leaf_base'][1]),)
         fp = perfcache.fingerprint_rows(
             arrays['ga.wide.rows'],
             extra=(int(meta['ga.wide.fanout'][1]),
-                   int(meta['ga.wide.leaf_size'][1]))
-            + ((bool(meta.get('ga.wide.packed', [None, False])[1]),
-                int(meta['ga.wide.n_instances'][1]))
-               if meta.get('ga.wide.__class__') == 'InstancedBVH'
-               else (int(meta['ga.wide.leaf_base'][1]),)))
+                   int(meta['ga.wide.leaf_size'][1])) + extra)
     ga = _unflatten('ga', arrays, meta, _registry(), True)
     if fp is not None:
         from chroma_tpu import perfcache

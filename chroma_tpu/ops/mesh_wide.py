@@ -99,7 +99,8 @@ def _ctz32_i32(m):
         jax.lax.population_count(low - 1).astype(jnp.int32))
 
 
-def _child_sweep(gT, f, ray_cols, best_d, active, packed=False, b0=0):
+def _child_sweep(gT, f, ray_cols, best_d, active, packed=False, b0=0,
+                 fmt=None):
     """Slab test of all F children of a fetched node row, in column form:
     every operand is a fully lane-packed (N,) vector (the (N, 3, F)
     formulation left the 128-lane VPU at ~5% utilization and dominated
@@ -107,19 +108,42 @@ def _child_sweep(gT, f, ray_cols, best_d, active, packed=False, b0=0):
     of the table is a contiguous (N,) row here. The sweep runs as a
     lax.fori_loop — a static unroll of F copies of this body inside the
     traversal while_loop was more than the TPU compiler could digest.
-    With packed=True the bounds are bf16 pairs (bvh.wide
-    _pack_bounds_words): child c's value sits in the low (c < F/2) or
-    high half of word c mod F/2 — two shifts decode it; empty slots
-    decode to NaN and fail every comparison like the f32 NaN padding.
-    Returns (hit bitmask (N,) u32, nearest hit child (N,) i32)."""
+
+    fmt ('f32' | 'bf16' | 'q8', see bvh.wide) selects the bounds decode:
+    bf16 pairs put child c in the low (c < F/2) or high half of word
+    c mod F/2 (empty slots decode NaN and fail every comparison like the
+    f32 NaN padding); q8 bytes decode anchor + q * scale with an
+    explicit lo<=hi validity test (empty slots encode an inverted
+    interval). Returns (hit bitmask (N,) u32, nearest child (N,) i32)."""
     (ox, oy, oz), (ix, iy, iz), (nx, ny, nz), (fx, fy, fz) = ray_cols
+    if fmt is None:
+        fmt = 'bf16' if packed else 'f32'
     neg_inf = jnp.float32(-jnp.inf)
     pos_inf = jnp.float32(jnp.inf)
     pw = f // 2
+    qw = f // 4
 
     def body(c, carry):
         hitmask, nearest, tnear = carry
-        if packed:
+        valid = None
+        if fmt == 'q8':
+            word_i = c // 4
+            shift = (c % 4) * 8
+
+            def qbyte(g):
+                word = jax.lax.dynamic_slice_in_dim(
+                    gT, b0 + 6 + g * qw + word_i, 1, axis=0)[0]
+                u = jax.lax.bitcast_convert_type(word, jnp.int32)
+                return (u >> shift) & jnp.int32(0xFF)
+
+            anc = [gT[b0 + ax] for ax in range(3)]
+            scl = [gT[b0 + 3 + ax] for ax in range(3)]
+            qb = [qbyte(g) for g in range(6)]
+            valid = qb[0] <= qb[3]
+
+            def col(k):
+                return anc[k % 3] + qb[k].astype(jnp.float32) * scl[k % 3]
+        elif fmt == 'bf16':
             low = c < pw
             w = jnp.where(low, c, c - pw)
 
@@ -168,9 +192,12 @@ def _child_sweep(gT, f, ray_cols, best_d, active, packed=False, b0=0):
         tmin = jnp.maximum(jnp.maximum(smx, smy),
                            jnp.maximum(smz, 0.0))
         tmax = jnp.minimum(jnp.minimum(bgx, bgy), bgz)
-        # padding children carry NaN bounds; the comparisons below are
-        # all False for NaN so they are rejected implicitly
+        # padding children carry NaN bounds (f32/bf16; the comparisons
+        # below are all False for NaN) or an inverted q8 interval caught
+        # by the explicit validity test
         hit = (tmin <= tmax) & (tmin <= best_d) & active
+        if valid is not None:
+            hit = hit & valid
         hitmask = hitmask | jnp.where(hit,
                                       jnp.uint32(1) << c.astype(jnp.uint32),
                                       jnp.uint32(0))
@@ -448,7 +475,7 @@ def _make_body_inst(inst, rays):
     rays = (origin, direction, inv_dir, neg_org, finite, last_hit), all in
     the WORLD frame; local-frame registers ride in the loop state."""
     from chroma_tpu.bvh.wide import (TAG_INTERNAL, TAG_LEAF, TAG_INSTANCE,
-                                     INST_B0)
+                                     INST_B0, bounds_cols, fmt_of)
 
     origin, direction, inv_dir, neg_org, finite, last_hit = rays
     n = origin.shape[0]
@@ -456,6 +483,8 @@ def _make_body_inst(inst, rays):
     k = inst.leaf_size
     depth_max = inst.max_depth
     width = inst.rows.shape[1]
+    fmt = fmt_of(inst)
+    fc_col = INST_B0 + bounds_cols(fmt, f)
     org_c, dir_c, inv_c, neg_c, fin_c = _ray_cols(origin, direction,
                                                   inv_dir, neg_org, finite)
     # the carried local-frame registers are origin+direction ONLY (6
@@ -511,17 +540,13 @@ def _make_body_inst(inst, rays):
         hitmask, nearest = _child_sweep(gT, f,
                                         (o_cc, inv_cc, neg_cc, fin_cc),
                                         best_d, sweeping,
-                                        packed=getattr(inst, 'packed',
-                                                       False),
-                                        b0=INST_B0)
+                                        fmt=fmt, b0=INST_B0)
         hitmask = jax.lax.bitcast_convert_type(hitmask, jnp.int32)
         best_tri, best_d, *hctx = _leaf_sweep(
             gT, k, o_cc, d_cc, last_hit, at_leaf,
             (best_tri, best_d) + tuple(hctx), tri_base=tbase, iid=iid)
         hctx = tuple(hctx)
 
-        fc_col = INST_B0 + (3 * f if getattr(inst, 'packed', False)
-                            else 6 * f)
         first_child = jax.lax.bitcast_convert_type(gT[fc_col], jnp.int32)
 
         # descend to the nearest hit child (masks are i32 with
@@ -580,7 +605,7 @@ def _make_body_inst_pallas(inst, rays, world_loc):
     as one fused Mosaic kernel (chroma_tpu.ops.visit_kernel). State
     pytree matches _make_body_inst."""
     from chroma_tpu.bvh.wide import (TAG_INTERNAL, TAG_LEAF, TAG_INSTANCE,
-                                     INST_B0)
+                                     INST_B0, fmt_of)
     from chroma_tpu.ops.visit_kernel import visit_inst
 
     origin, direction, inv_dir, neg_org, finite, last_hit = rays
@@ -623,7 +648,7 @@ def _make_body_inst_pallas(inst, rays, world_loc):
             masks.reshape(depth_max, nb, 128),
             r2(best_d), hctx_t, loc_t, rays_pack, last_t,
             width, f, k, depth_max, tags, interpret=interp,
-            packed=getattr(inst, 'packed', False), b0=INST_B0)
+            fmt=fmt_of(inst), b0=INST_B0)
 
         loc_out = tuple(loc_t[i].reshape(n) for i in range(6))
         hctx_out = tuple(h.reshape(n) for h in hctx_t)

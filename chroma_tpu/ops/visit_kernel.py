@@ -107,7 +107,7 @@ def _ctz32(m):
 
 
 def _visit_kernel_inst(*refs, W, F, K, D, TAG_INTERNAL, TAG_LEAF,
-                       TAG_INSTANCE, IBIG, PACKED=False, B0=0):
+                       TAG_INSTANCE, IBIG, FMT='f32', B0=0):
     """One traversal visit for a (TB, 128) tile of lanes (instanced
     table). refs: rows (TB, 128, W), cur, depth, best_tri, d_inst, tbase,
     iid, bases, masks, bd, bcode, bn x3, biid, loc x6, rays, last |
@@ -188,20 +188,35 @@ def _visit_kernel_inst(*refs, W, F, K, D, TAG_INTERNAL, TAG_LEAF,
     nearest = jnp.zeros_like(cur)
     tnear = jnp.full_like(best_d, jnp.inf)
     fin_ok = [jnp.isfinite(i) for i in inv_cc]
-    PW = F // 2 if PACKED else F
+    PW = F // 2
+    QW = F // 4
     sweeping = internal | is_inst
 
     def _bound(g, c):
         """Bound group g (0..5 = lo_x..hi_z) of child c, at the B0
-        offset. Packed rows hold bf16 pairs: child c in the low
-        (c < F/2) or high half of word c mod F/2
-        (bvh.wide._pack_bounds_words); empty slots decode NaN."""
-        if not PACKED:
-            return gT[B0 + g * F + c]
-        u = _bitcast_i32(gT[B0 + g * PW + (c % PW)])
-        if c < PW:
-            return _bitcast_f32(u << 16)
-        return _bitcast_f32(u & jnp.int32(-65536))
+        offset. bf16 rows hold pairs: child c in the low (c < F/2) or
+        high half of word c mod F/2 (bvh.wide._pack_bounds_words), empty
+        slots decode NaN. q8 rows hold anchors(3) + scales(3) + byte
+        lanes: child c's byte in word c >> 2, lane c & 3, decoded
+        anchor + q * scale (empty slots are caught by _qvalid)."""
+        if FMT == 'q8':
+            u = _bitcast_i32(gT[B0 + 6 + g * QW + (c >> 2)])
+            q = (u >> ((c & 3) * 8)) & 0xFF
+            return gT[B0 + g % 3] + q.astype(jnp.float32) * gT[B0 + 3
+                                                               + g % 3]
+        if FMT == 'bf16':
+            u = _bitcast_i32(gT[B0 + g * PW + (c % PW)])
+            if c < PW:
+                return _bitcast_f32(u << 16)
+            return _bitcast_f32(u & jnp.int32(-65536))
+        return gT[B0 + g * F + c]
+
+    def _qvalid(c):
+        "q8 slot validity: empty slots encode lo_x byte > hi_x byte."
+        ulo = _bitcast_i32(gT[B0 + 6 + (c >> 2)])
+        uhi = _bitcast_i32(gT[B0 + 6 + 3 * QW + (c >> 2)])
+        sh = (c & 3) * 8
+        return ((ulo >> sh) & 0xFF) <= ((uhi >> sh) & 0xFF)
 
     for c in range(F):
         lox, loy, loz = _bound(0, c), _bound(1, c), _bound(2, c)
@@ -235,6 +250,8 @@ def _visit_kernel_inst(*refs, W, F, K, D, TAG_INTERNAL, TAG_LEAF,
         tmin = jnp.maximum(jnp.maximum(smx, smy), jnp.maximum(smz, 0.0))
         tmax = jnp.minimum(jnp.minimum(bgx, bgy), bgz)
         hit = (tmin <= tmax) & (tmin <= best_d) & sweeping
+        if FMT == 'q8':
+            hit = hit & _qvalid(c)
         # two's-complement wrap keeps bit 31 usable for fanout-32 masks
         bit = int(np.uint32(1 << c).view(np.int32))
         hitmask = hitmask | jnp.where(hit, jnp.int32(bit), jnp.int32(0))
@@ -280,7 +297,8 @@ def _visit_kernel_inst(*refs, W, F, K, D, TAG_INTERNAL, TAG_LEAF,
         bnz = jnp.where(closer, e1x * e2y - e1y * e2x, bnz)
         best_iid = jnp.where(closer, iid, best_iid)
 
-    first_child = _bitcast_i32(gT[B0 + (3 * F if PACKED else 6 * F)])
+    FC = {'q8': 6 + 6 * QW, 'bf16': 3 * F, 'f32': 6 * F}[FMT]
+    first_child = _bitcast_i32(gT[B0 + FC])
 
     # --- descend to the nearest hit child. Instance-frame registers
     # commit only when the entry actually descends; a culled entry (no
@@ -347,10 +365,10 @@ def _visit_kernel_inst(*refs, W, F, K, D, TAG_INTERNAL, TAG_LEAF,
 
 
 @functools.partial(jax.jit, static_argnames=('W', 'F', 'K', 'D', 'tags',
-                                             'interpret', 'packed', 'b0'))
+                                             'interpret', 'fmt', 'b0'))
 def visit_inst(rows, cur, depth, btri, d_inst, tbase, iid, bases, masks,
                bd, hctx, loc, rays, last, W, F, K, D, tags,
-               interpret=False, packed=False, b0=0):
+               interpret=False, fmt='f32', b0=0):
     """Run one instanced-table visit on all lanes.
 
     rows: (NB, 128, W) f32 gathered rows (UNTRANSPOSED; the kernel
@@ -367,7 +385,7 @@ def visit_inst(rows, cur, depth, btri, d_inst, tbase, iid, bases, masks,
     kern = functools.partial(_visit_kernel_inst, W=W, F=F, K=K, D=D,
                              TAG_INTERNAL=TAG_INTERNAL, TAG_LEAF=TAG_LEAF,
                              TAG_INSTANCE=TAG_INSTANCE, IBIG=IBIG,
-                             PACKED=packed, B0=b0)
+                             FMT=fmt, B0=b0)
 
     def spec(lead=None):
         if lead is None:

@@ -184,7 +184,7 @@ def test_packed_bounds_match_f32():
     instances = [(s.mesh, geo.solid_rotations[i],
                   geo.solid_displacements[i], int(tri_base[i]))
                  for i, s in enumerate(geo.solids)]
-    bp = build_instanced_bvh(instances)
+    bp = build_instanced_bvh(instances, bounds_fmt='bf16')
     bf = build_instanced_bvh(instances, fanout=16)
     assert bp.packed and not bf.packed
     assert bp.rows.shape[1] == bf.rows.shape[1]   # same gather bytes
@@ -195,6 +195,40 @@ def test_packed_bounds_match_f32():
     hit = np.asarray(tf) >= 0
     assert np.allclose(np.asarray(dp)[hit], np.asarray(df)[hit],
                        rtol=1e-5, atol=1e-3)
+
+
+def test_q8_bounds_match_f32():
+    """Byte-quantized bounds (the default fmt) find the SAME nearest
+    triangles as f32 and bf16 tables: quantization rounds lo down / hi
+    up against per-node anchors, so boxes only grow, culling stays
+    conservative and the exact leaf test picks the identical winner —
+    in a 16-column narrower row."""
+    from chroma_tpu.bvh.wide import build_instanced_bvh, fmt_of
+
+    geo = _pmt_array_geometry(9)
+    tri_base = np.cumsum([0] + [len(s.mesh.triangles) for s in geo.solids])
+    instances = [(s.mesh, geo.solid_rotations[i],
+                  geo.solid_displacements[i], int(tri_base[i]))
+                 for i, s in enumerate(geo.solids)]
+    bq = build_instanced_bvh(instances, bounds_fmt='q8')
+    bb = build_instanced_bvh(instances, bounds_fmt='bf16')
+    assert fmt_of(bq) == 'q8' and bq.rows.shape[1] == 96
+    assert bb.rows.shape[1] == 112
+    o, d = _random_rays(4000, seed=12)
+    tq, dq = intersect_mesh_wide(o, d, bq)
+    tb, db = intersect_mesh_wide(o, d, bb)
+    assert (np.asarray(tq) == np.asarray(tb)).all()
+    hit = np.asarray(tb) >= 0
+    assert hit.sum() > 500
+    assert np.allclose(np.asarray(dq)[hit], np.asarray(db)[hit],
+                       rtol=1e-5, atol=1e-3)
+    # axis-aligned rays exercise the q8 containment fallback
+    o0 = np.zeros((6, 3), np.float32)
+    d0 = np.concatenate([np.eye(3, dtype=np.float32),
+                         -np.eye(3, dtype=np.float32)])
+    ta, da = intersect_mesh_wide(jnp.asarray(o0), jnp.asarray(d0), bq)
+    tf, df_ = intersect_mesh_wide(jnp.asarray(o0), jnp.asarray(d0), bb)
+    assert (np.asarray(ta) == np.asarray(tf)).all()
 
 
 def test_bf16_directed_rounding():

@@ -220,21 +220,37 @@ def run_config(quick, nphotons, reps):
 
 def measure_simulation(ga, nphotons, reps):
     """End-to-end Simulation throughput: device-resident sources in,
-    flat hits out (device-side channel map + minority transfer). The gap
-    to raw `propagate` is the event-assembly overhead."""
+    flat hits out. Hit extraction (channel map + front-pack of the
+    detected minority) runs inside the fused device program; the hits
+    stay device-resident in a LazyHits (chroma_tpu.ops.daq) — only the
+    4-byte detected count and abort flag cross to the host, because
+    that is where the framework's own downstream consumers (DAQ, PDF
+    accumulation) want the data. Materializing every photon field on
+    the host is one extra batched transfer, paid only by callers that
+    touch the numpy fields (measured separately below as the
+    sim_hits_materialized rate). The gap to raw `propagate` is the
+    event-assembly overhead."""
     from chroma_tpu.sim import Simulation
 
     sim = Simulation(None, seed=7, gpu_geometry=ga)
     best = float('inf')
+    best_mat = float('inf')
     for rep in range(reps + 1):
         ps = photon_bomb(nphotons, 500 + rep)
         t0 = time.time()
         evs = list(sim.simulate(ps, max_steps=100, keep_hits=False))
         dt = time.time() - t0
         nhits = len(evs[0].flat_hits)
+        # the host-materialized rate: + one batched transfer of every
+        # photon field of the detected minority (tunnel-speed here;
+        # PCIe-speed on a local host)
+        _ = evs[0].flat_hits.t
+        dt_mat = time.time() - t0
         if rep > 0:
             best = min(best, dt)
-    print('# sim flat hits: %d' % nhits, file=sys.stderr)
+            best_mat = min(best_mat, dt_mat)
+    print('# sim flat hits: %d (materialized rate %.0f photons/s)'
+          % (nhits, nphotons / best_mat), file=sys.stderr)
     return nphotons / best
 
 

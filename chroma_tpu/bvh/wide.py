@@ -789,7 +789,13 @@ def build_instanced_bvh(instances, fanout=None, leaf_size=LEAF_SIZE,
             raise ValueError('packed_fanout must be even and in [2, 32]')
         fanout = packed_fanout
     if bounds_fmt is None:
-        bounds_fmt = os.environ.get('CHROMA_BVH_BOUNDS', 'q8') \
+        # bf16 measured faster than q8 on BOTH bench configs despite 14%
+        # more row bytes (quick: 8.28 vs 5.86 Mrays/s; headline propagate
+        # 1.27M vs 1.24M photons/s): the visit kernel is compute-bound
+        # enough that the q8 byte extract (shift+and+convert per bound vs
+        # one shift/mask) costs more than the saved HBM traffic returns,
+        # even with the affine decode hoisted per-visit.
+        bounds_fmt = os.environ.get('CHROMA_BVH_BOUNDS', 'bf16') \
             if packed else 'f32'
     if bounds_fmt == 'q8' and fanout % 4:
         raise ValueError('q8 bounds need fanout divisible by 4')

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from chroma_tpu import event
 from chroma_tpu.event import SURFACE_DETECT
 from chroma_tpu.ops.sample import site_key, uniform, sample_cdf_pairs
 
@@ -244,13 +245,72 @@ def _learned_m(n_det, n):
     return min(max(MIN_HIT_M, -(-want // step) * step), n)
 
 
+class LazyHits(event.Photons):
+    """Flat hits that stay DEVICE-RESIDENT until a field is touched.
+
+    The packed detected minority (a gather-width PhotonState + channel
+    vector) rides along on device; `len()` is free (the true count came
+    back with the bomb's 4-byte reduction) and the first access to any
+    photon field triggers ONE batched device->host transfer of all
+    fields, after which the object is an ordinary numpy Photons. Device
+    consumers (DAQ, PDF accumulation, sharded reductions) never pay the
+    transfer at all — the reference must always copy hits out
+    (gpu/photon.py:141-209 count->alloc->copy); on TPU the natural
+    design is to leave them where the next kernel wants them.
+    """
+
+    def __init__(self, sub_state, channel_dev, n_det):
+        # deliberately NOT calling Photons.__init__: field attributes
+        # stay unset so __getattr__ sees first access
+        self._dev = (sub_state, channel_dev)
+        self._n = int(n_det)
+
+    _FIELDS = ('pos', 'dir', 'pol', 'wavelengths', 't',
+               'last_hit_triangles', 'flags', 'weights', 'evidx',
+               'channel')
+
+    def device_state(self):
+        """(PhotonState, channel) device views of the packed minority
+        (gather-width; rows past len(self) are undetected filler), or
+        None once materialized."""
+        return self._dev
+
+    def _materialize(self):
+        import numpy as np
+        from chroma_tpu.ops.propagate import photon_state_to_host
+        sub, ch = self._dev
+        sub, ch = jax.device_get((sub, ch))
+        host = photon_state_to_host(
+            sub, channel=np.maximum(ch, 0).astype(np.uint32))[:self._n]
+        for f in self._FIELDS:
+            setattr(self, f, getattr(host, f))
+        self._dev = None
+
+    def __getattr__(self, name):
+        # only reached when normal lookup fails: first touch of a field
+        if name in LazyHits._FIELDS and self.__dict__.get('_dev') is not None:
+            self._materialize()
+            return getattr(self, name)
+        raise AttributeError(name)
+
+    def __len__(self):
+        return self._n
+
+    def __reduce__(self):
+        # pickling (npz/ZMQ paths) ships a plain numpy Photons
+        if self.__dict__.get('_dev') is not None:
+            self._materialize()
+        return (event.Photons,
+                tuple(getattr(self, f) for f in LazyHits._FIELDS))
+
+
 def extract_flat_hits(state, geometry_arrays):
-    """Detected photons as a host event.Photons with channels: device
-    count + front-pack, transfer of (just over) the detected minority
-    (reference: gpu/photon.py:141-209 count->alloc->copy kernels)."""
-    import numpy as np
+    """Detected photons as flat hits with channels: device count +
+    front-pack, the detected minority kept device-resident in a
+    LazyHits until first host access (reference: gpu/photon.py:141-209
+    count->alloc->copy kernels)."""
     from chroma_tpu import perfcache
-    from chroma_tpu.ops.propagate import photon_state_to_host, perf_key
+    from chroma_tpu.ops.propagate import perf_key
 
     pk = perf_key(geometry_arrays)
     ck = (pk, len(state))
@@ -271,11 +331,7 @@ def extract_flat_hits(state, geometry_arrays):
     if _HIT_M_CACHE.get(ck) != learned:
         _HIT_M_CACHE[ck] = learned
         perfcache.update(pk, {'hit_m:%d' % len(state): learned})
-    # fetch the packed state and channels in ONE batched transfer
-    sub, ch = jax.device_get((sub, ch))
-    hits = photon_state_to_host(
-        sub, channel=np.maximum(ch, 0).astype(np.uint32))
-    return hits[:n]
+    return LazyHits(sub, ch, n)
 
 
 MIN_HIT_M = 4096
@@ -291,10 +347,9 @@ def propagate_with_hits(state, geometry_arrays, key, max_steps=100,
     (reference equivalent: propagate kernel + count_photon_hits +
     copy_photon_hits as three launches, gpu/photon.py:141-209).
 
-    Returns (result PhotonState on device, hits event.Photons on host).
-    Falls back to propagate + extract_flat_hits on probe bombs and
-    non-fused drivers."""
-    import numpy as np
+    Returns (result PhotonState on device, hits as a device-resident
+    LazyHits). Falls back to propagate + extract_flat_hits on probe
+    bombs and non-fused drivers."""
     from chroma_tpu import perfcache
     from chroma_tpu.ops import propagate as P
 
@@ -316,7 +371,9 @@ def propagate_with_hits(state, geometry_arrays, key, max_steps=100,
         return result, extract_flat_hits(result, geometry_arrays)
 
     sub, ch, n_det_dev, abort = bundle
-    sub, ch, n_det, abort = jax.device_get((sub, ch, n_det_dev, abort))
+    # only the 8-byte (count, abort) pair crosses to the host; the
+    # packed minority stays on device inside the LazyHits
+    n_det, abort = jax.device_get((n_det_dev, abort))
     if abort:
         from chroma_tpu.log import logger
         logger.warning('ABORTED PHOTONS')
@@ -327,17 +384,12 @@ def propagate_with_hits(state, geometry_arrays, key, max_steps=100,
         while m < n_det:
             m <<= 1
         m = min(m, n)
-        sub_d, ch_d, _ = flat_hit_gather(result, geometry_arrays, m)
-        sub, ch = jax.device_get((sub_d, ch_d))
+        sub, ch, _ = flat_hit_gather(result, geometry_arrays, m)
     learned = _learned_m(n_det, n)
     if _HIT_M_CACHE.get(ck) != learned:
         _HIT_M_CACHE[ck] = learned
         perfcache.update(pk, {'hit_m:%d' % n: learned})
-
-    from chroma_tpu.ops.propagate import photon_state_to_host
-    hits = photon_state_to_host(
-        sub, channel=np.maximum(np.asarray(ch), 0).astype(np.uint32))
-    return result, hits[:n_det]
+    return result, LazyHits(sub, ch, n_det)
 
 
 def photon_channels(photons_host, solid_id, solid_id_to_channel_index):

@@ -112,9 +112,12 @@ def _child_sweep(gT, f, ray_cols, best_d, active, packed=False, b0=0,
     fmt ('f32' | 'bf16' | 'q8', see bvh.wide) selects the bounds decode:
     bf16 pairs put child c in the low (c < F/2) or high half of word
     c mod F/2 (empty slots decode NaN and fail every comparison like the
-    f32 NaN padding); q8 bytes decode anchor + q * scale with an
-    explicit lo<=hi validity test (empty slots encode an inverted
-    interval). Returns (hit bitmask (N,) u32, nearest child (N,) i32)."""
+    f32 NaN padding); q8 bytes decode via a per-VISIT hoisted affine
+    transform — t = q * (scale*inv) + (anchor*inv + neg_org) — so the
+    per-child cost is one fma per bound after the byte extract, matching
+    bf16; slot validity and the zero-direction containment fallback run
+    in q-space (empty slots encode an inverted byte interval).
+    Returns (hit bitmask (N,) u32, nearest child (N,) i32)."""
     (ox, oy, oz), (ix, iy, iz), (nx, ny, nz), (fx, fy, fz) = ray_cols
     if fmt is None:
         fmt = 'bf16' if packed else 'f32'
@@ -123,9 +126,19 @@ def _child_sweep(gT, f, ray_cols, best_d, active, packed=False, b0=0,
     pw = f // 2
     qw = f // 4
 
+    if fmt == 'q8':
+        # per-visit q8 hoists: t-space affine per axis + the ray origin
+        # in q-space (for the containment fallback, +-1 quantum slack
+        # absorbs the f32 rounding of the transform)
+        anc = [gT[b0 + ax] for ax in range(3)]
+        scl = [gT[b0 + 3 + ax] for ax in range(3)]
+        q_S = [s * i for s, i in zip(scl, (ix, iy, iz))]
+        q_A = [a * i + ng for a, i, ng in zip(anc, (ix, iy, iz),
+                                              (nx, ny, nz))]
+        q_o = [(o - a) / s for o, a, s in zip((ox, oy, oz), anc, scl)]
+
     def body(c, carry):
         hitmask, nearest, tnear = carry
-        valid = None
         if fmt == 'q8':
             word_i = c // 4
             shift = (c % 4) * 8
@@ -134,16 +147,42 @@ def _child_sweep(gT, f, ray_cols, best_d, active, packed=False, b0=0,
                 word = jax.lax.dynamic_slice_in_dim(
                     gT, b0 + 6 + g * qw + word_i, 1, axis=0)[0]
                 u = jax.lax.bitcast_convert_type(word, jnp.int32)
-                return (u >> shift) & jnp.int32(0xFF)
+                return ((u >> shift) & jnp.int32(0xFF)).astype(jnp.float32)
 
-            anc = [gT[b0 + ax] for ax in range(3)]
-            scl = [gT[b0 + 3 + ax] for ax in range(3)]
             qb = [qbyte(g) for g in range(6)]
             valid = qb[0] <= qb[3]
-
-            def col(k):
-                return anc[k % 3] + qb[k].astype(jnp.float32) * scl[k % 3]
-        elif fmt == 'bf16':
+            t0x = qb[0] * q_S[0] + q_A[0]
+            t0y = qb[1] * q_S[1] + q_A[1]
+            t0z = qb[2] * q_S[2] + q_A[2]
+            t1x = qb[3] * q_S[0] + q_A[0]
+            t1y = qb[4] * q_S[1] + q_A[1]
+            t1z = qb[5] * q_S[2] + q_A[2]
+            cx = (q_o[0] >= qb[0] - 1.0) & (q_o[0] <= qb[3] + 1.0)
+            cy = (q_o[1] >= qb[1] - 1.0) & (q_o[1] <= qb[4] + 1.0)
+            cz = (q_o[2] >= qb[2] - 1.0) & (q_o[2] <= qb[5] + 1.0)
+            smx = jnp.where(fx, jnp.minimum(t0x, t1x),
+                            jnp.where(cx, neg_inf, pos_inf))
+            bgx = jnp.where(fx, jnp.maximum(t0x, t1x),
+                            jnp.where(cx, pos_inf, neg_inf))
+            smy = jnp.where(fy, jnp.minimum(t0y, t1y),
+                            jnp.where(cy, neg_inf, pos_inf))
+            bgy = jnp.where(fy, jnp.maximum(t0y, t1y),
+                            jnp.where(cy, pos_inf, neg_inf))
+            smz = jnp.where(fz, jnp.minimum(t0z, t1z),
+                            jnp.where(cz, neg_inf, pos_inf))
+            bgz = jnp.where(fz, jnp.maximum(t0z, t1z),
+                            jnp.where(cz, pos_inf, neg_inf))
+            tmin = jnp.maximum(jnp.maximum(smx, smy),
+                               jnp.maximum(smz, 0.0))
+            tmax = jnp.minimum(jnp.minimum(bgx, bgy), bgz)
+            hit = (tmin <= tmax) & (tmin <= best_d) & active & valid
+            hitmask = hitmask | jnp.where(
+                hit, jnp.uint32(1) << c.astype(jnp.uint32), jnp.uint32(0))
+            better = hit & (tmin < tnear)
+            tnear = jnp.where(better, tmin, tnear)
+            nearest = jnp.where(better, c, nearest)
+            return hitmask, nearest, tnear
+        if fmt == 'bf16':
             low = c < pw
             w = jnp.where(low, c, c - pw)
 
@@ -192,12 +231,9 @@ def _child_sweep(gT, f, ray_cols, best_d, active, packed=False, b0=0,
         tmin = jnp.maximum(jnp.maximum(smx, smy),
                            jnp.maximum(smz, 0.0))
         tmax = jnp.minimum(jnp.minimum(bgx, bgy), bgz)
-        # padding children carry NaN bounds (f32/bf16; the comparisons
-        # below are all False for NaN) or an inverted q8 interval caught
-        # by the explicit validity test
+        # padding children carry NaN bounds (f32/bf16): the comparisons
+        # below are all False for NaN (q8 handled above)
         hit = (tmin <= tmax) & (tmin <= best_d) & active
-        if valid is not None:
-            hit = hit & valid
         hitmask = hitmask | jnp.where(hit,
                                       jnp.uint32(1) << c.astype(jnp.uint32),
                                       jnp.uint32(0))

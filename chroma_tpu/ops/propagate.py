@@ -496,25 +496,34 @@ def _tune_schedule(n, boundary_steps, alive_counts, max_steps):
                     best = cost
         return best
 
-    # reconstruct: walk forward, emitting (span, absolute width) entries
-    sched = []
-    s, i, nb, span = 0, 0, SCHED_MAX_STAGES, 0
-    while s < H:
-        w = ladder[i]
-        here = V(s, i, nb)
-        stepped = (w + F) + V(s + 1, i, nb)
-        if abs(here - stepped) < 1e-6 * max(here, 1.0):
-            s += 1
-            span += 1
-            continue
-        for cand in range(nl - 1, i, -1):
-            if ladder[cand] >= need(s):
-                sched.append((span, int(ladder[cand])))
-                i, nb, span = cand, nb - 1, 0
-                break
-        else:                      # pragma: no cover — defensive
-            s += 1
-            span += 1
+    # reconstruct: walk forward, emitting (span, absolute width) entries.
+    # V(s,...) recurses to the horizon before the cache warms, so the
+    # recursion limit must cover H frames (default max_steps=1000 blew
+    # the default 1000-frame limit through the caller's stack)
+    import sys
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, 2 * H + 500))
+    try:
+        sched = []
+        s, i, nb, span = 0, 0, SCHED_MAX_STAGES, 0
+        while s < H:
+            w = ladder[i]
+            here = V(s, i, nb)
+            stepped = (w + F) + V(s + 1, i, nb)
+            if abs(here - stepped) < 1e-6 * max(here, 1.0):
+                s += 1
+                span += 1
+                continue
+            for cand in range(nl - 1, i, -1):
+                if ladder[cand] >= need(s):
+                    sched.append((span, int(ladder[cand])))
+                    i, nb, span = cand, nb - 1, 0
+                    break
+            else:                  # pragma: no cover — defensive
+                s += 1
+                span += 1
+    finally:
+        sys.setrecursionlimit(old_limit)
     return tuple(sched)
 
 

@@ -192,18 +192,24 @@ def _visit_kernel_inst(*refs, W, F, K, D, TAG_INTERNAL, TAG_LEAF,
     QW = F // 4
     sweeping = internal | is_inst
 
+    if FMT == 'q8':
+        # per-VISIT hoisted q8 affine: t = q * (scale*inv) + (anchor*inv
+        # + neg_org) — one fma per bound per child after the byte
+        # extract, same arithmetic depth as bf16. The containment
+        # fallback runs in q-space with +-1 quantum slack (absorbs the
+        # f32 rounding of the hoisted transform; conservative: a false
+        # positive only widens a degenerate axis to always-hit).
+        q_anc = [gT[B0 + ax] for ax in range(3)]
+        q_scl = [gT[B0 + 3 + ax] for ax in range(3)]
+        q_S = [s * i for s, i in zip(q_scl, inv_cc)]
+        q_A = [a * i + ng for a, i, ng in zip(q_anc, inv_cc, neg_cc)]
+        q_o = [(o - a) / s for o, a, s in zip(o_cc, q_anc, q_scl)]
+
     def _bound(g, c):
         """Bound group g (0..5 = lo_x..hi_z) of child c, at the B0
         offset. bf16 rows hold pairs: child c in the low (c < F/2) or
         high half of word c mod F/2 (bvh.wide._pack_bounds_words), empty
-        slots decode NaN. q8 rows hold anchors(3) + scales(3) + byte
-        lanes: child c's byte in word c >> 2, lane c & 3, decoded
-        anchor + q * scale (empty slots are caught by _qvalid)."""
-        if FMT == 'q8':
-            u = _bitcast_i32(gT[B0 + 6 + g * QW + (c >> 2)])
-            q = (u >> ((c & 3) * 8)) & 0xFF
-            return gT[B0 + g % 3] + q.astype(jnp.float32) * gT[B0 + 3
-                                                               + g % 3]
+        slots decode NaN."""
         if FMT == 'bf16':
             u = _bitcast_i32(gT[B0 + g * PW + (c % PW)])
             if c < PW:
@@ -211,30 +217,41 @@ def _visit_kernel_inst(*refs, W, F, K, D, TAG_INTERNAL, TAG_LEAF,
             return _bitcast_f32(u & jnp.int32(-65536))
         return gT[B0 + g * F + c]
 
-    def _qvalid(c):
-        "q8 slot validity: empty slots encode lo_x byte > hi_x byte."
-        ulo = _bitcast_i32(gT[B0 + 6 + (c >> 2)])
-        uhi = _bitcast_i32(gT[B0 + 6 + 3 * QW + (c >> 2)])
-        sh = (c & 3) * 8
-        return ((ulo >> sh) & 0xFF) <= ((uhi >> sh) & 0xFF)
+    def _qbyte(g, c):
+        "q8 byte (as f32) of bound group g, child c."
+        u = _bitcast_i32(gT[B0 + 6 + g * QW + (c >> 2)])
+        return (((u >> ((c & 3) * 8)) & 0xFF)).astype(jnp.float32)
 
     for c in range(F):
-        lox, loy, loz = _bound(0, c), _bound(1, c), _bound(2, c)
-        hix, hiy, hiz = _bound(3, c), _bound(4, c), _bound(5, c)
-        t0x = lox * inv_cc[0] + neg_cc[0]
-        t1x = hix * inv_cc[0] + neg_cc[0]
-        t0y = loy * inv_cc[1] + neg_cc[1]
-        t1y = hiy * inv_cc[1] + neg_cc[1]
-        t0z = loz * inv_cc[2] + neg_cc[2]
-        t1z = hiz * inv_cc[2] + neg_cc[2]
-        # zero-direction axes (non-finite inv) fall back to an exact
-        # origin-containment test, like the IEEE evaluation of the
-        # reference's (lo - o)/d slab form; always-hit would make
-        # axis-aligned rays sweep every node overlapping their 1-D slab
-        # (see ops.mesh_wide._child_sweep)
-        ctx = (o_cc[0] >= lox) & (o_cc[0] <= hix)
-        cty = (o_cc[1] >= loy) & (o_cc[1] <= hiy)
-        ctz = (o_cc[2] >= loz) & (o_cc[2] <= hiz)
+        if FMT == 'q8':
+            qb = [_qbyte(g, c) for g in range(6)]
+            t0x = qb[0] * q_S[0] + q_A[0]
+            t0y = qb[1] * q_S[1] + q_A[1]
+            t0z = qb[2] * q_S[2] + q_A[2]
+            t1x = qb[3] * q_S[0] + q_A[0]
+            t1y = qb[4] * q_S[1] + q_A[1]
+            t1z = qb[5] * q_S[2] + q_A[2]
+            ctx = (q_o[0] >= qb[0] - 1.0) & (q_o[0] <= qb[3] + 1.0)
+            cty = (q_o[1] >= qb[1] - 1.0) & (q_o[1] <= qb[4] + 1.0)
+            ctz = (q_o[2] >= qb[2] - 1.0) & (q_o[2] <= qb[5] + 1.0)
+            q_ok = qb[0] <= qb[3]
+        else:
+            lox, loy, loz = _bound(0, c), _bound(1, c), _bound(2, c)
+            hix, hiy, hiz = _bound(3, c), _bound(4, c), _bound(5, c)
+            t0x = lox * inv_cc[0] + neg_cc[0]
+            t1x = hix * inv_cc[0] + neg_cc[0]
+            t0y = loy * inv_cc[1] + neg_cc[1]
+            t1y = hiy * inv_cc[1] + neg_cc[1]
+            t0z = loz * inv_cc[2] + neg_cc[2]
+            t1z = hiz * inv_cc[2] + neg_cc[2]
+            # zero-direction axes (non-finite inv) fall back to an exact
+            # origin-containment test, like the IEEE evaluation of the
+            # reference's (lo - o)/d slab form; always-hit would make
+            # axis-aligned rays sweep every node overlapping their 1-D
+            # slab (see ops.mesh_wide._child_sweep)
+            ctx = (o_cc[0] >= lox) & (o_cc[0] <= hix)
+            cty = (o_cc[1] >= loy) & (o_cc[1] <= hiy)
+            ctz = (o_cc[2] >= loz) & (o_cc[2] <= hiz)
         smx = jnp.where(fin_ok[0], jnp.minimum(t0x, t1x),
                         jnp.where(ctx, neg_inf, pos_inf))
         bgx = jnp.where(fin_ok[0], jnp.maximum(t0x, t1x),
@@ -251,7 +268,7 @@ def _visit_kernel_inst(*refs, W, F, K, D, TAG_INTERNAL, TAG_LEAF,
         tmax = jnp.minimum(jnp.minimum(bgx, bgy), bgz)
         hit = (tmin <= tmax) & (tmin <= best_d) & sweeping
         if FMT == 'q8':
-            hit = hit & _qvalid(c)
+            hit = hit & q_ok
         # two's-complement wrap keeps bit 31 usable for fanout-32 masks
         bit = int(np.uint32(1 << c).view(np.int32))
         hitmask = hitmask | jnp.where(hit, jnp.int32(bit), jnp.int32(0))

@@ -92,3 +92,41 @@ def test_flat_hits_device_path_matches_host(sim):
     detected = gp.select(event.SURFACE_DETECT)
     assert len(detected) == int(
         (host.flags & np.uint32(event.SURFACE_DETECT) > 0).sum())
+
+
+@pytest.mark.slow
+def test_lazy_hits_semantics(sim):
+    """LazyHits: free len(), device arrays until first field touch, one
+    materialization that survives slicing/join/pickle."""
+    import pickle
+    from chroma_tpu.ops import daq as daq_ops
+
+    st = _device_bomb(2048, 5)
+    gg = gpu.GPUDetector(sim.detector)
+    gp = gpu.GPUPhotons(st)
+    gp.propagate(gg, gpu.get_rng_states(1, seed=4), max_steps=40)
+
+    hits = gp.get_flat_hits(gg)
+    assert isinstance(hits, daq_ops.LazyHits)
+    assert isinstance(hits, event.Photons)
+    n = len(hits)
+    assert n > 0
+    assert hits.device_state() is not None      # still device-resident
+    sub, ch = hits.device_state()
+    assert len(sub.pos) >= n                    # gather-width packing
+
+    t = hits.t                                  # first touch materializes
+    assert hits.device_state() is None
+    assert len(t) == n and np.isfinite(t).all()
+    assert (hits.channel < sim.detector.num_channels()).all()
+
+    # slicing yields a plain Photons of the right size
+    part = hits[: n // 2]
+    assert isinstance(part, event.Photons) and len(part) == n // 2
+
+    # pickling a FRESH lazy object ships plain numpy
+    hits2 = gp.get_flat_hits(gg)
+    blob = pickle.dumps(hits2)
+    back = pickle.loads(blob)
+    assert type(back) is event.Photons and len(back) == len(hits2)
+    np.testing.assert_array_equal(np.sort(back.t), np.sort(hits.t))

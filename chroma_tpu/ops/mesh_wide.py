@@ -87,6 +87,17 @@ def _ctz32(m):
         jax.lax.population_count(low - jnp.uint32(1)).astype(jnp.int32))
 
 
+def safe_inv(direction):
+    """1/direction with exactly-zero components nudged to 1e-25 first,
+    so the inverse is finite (1e25) on every axis and the slab test
+    needs no zero-direction containment fallback (see _child_sweep).
+    The nudge scale keeps every intermediate (|bound|,|origin| <= ~1e5
+    detector mm) below f32 overflow, so no inf-inf NaNs appear in the
+    fma slab form."""
+    return 1.0 / jnp.where(direction == 0.0, jnp.float32(1e-25),
+                           direction)
+
+
 def _ctz32_i32(m):
     """int32 variant (32 for m == 0). Two's-complement wrap keeps bit 31
     usable for fanout-32 masks: for m = INT_MIN, -m wraps back to INT_MIN
@@ -115,30 +126,34 @@ def _child_sweep(gT, f, ray_cols, best_d, active, packed=False, b0=0,
     f32 NaN padding); q8 bytes decode via a per-VISIT hoisted affine
     transform — t = q * (scale*inv) + (anchor*inv + neg_org) — so the
     per-child cost is one fma per bound after the byte extract, matching
-    bf16; slot validity and the zero-direction containment fallback run
-    in q-space (empty slots encode an inverted byte interval).
-    Returns (hit bitmask (N,) u32, nearest child (N,) i32)."""
-    (ox, oy, oz), (ix, iy, iz), (nx, ny, nz), (fx, fy, fz) = ray_cols
+    bf16 (empty slots encode an inverted byte interval).
+
+    inv (ix, iy, iz) MUST be finite: callers nudge exactly-zero
+    direction components to +-1e-25 (safe_inv) so every axis runs the
+    plain slab arithmetic — the nudged inverse (1e25) turns the slab
+    test into a sign test on (bound - origin) whose only error is f32
+    cancellation fuzz around the box face, orders of magnitude below
+    the bf16/q8 bound padding. The previous per-axis containment
+    fallback cost ~18 ops per child to serve the ~1e-6 of photons with
+    an exactly-zero component. Returns (hit bitmask (N,) u32, nearest
+    hit child (N,) i32)."""
+    (ox, oy, oz), (ix, iy, iz), (nx, ny, nz), _ = ray_cols
     if fmt is None:
         fmt = 'bf16' if packed else 'f32'
-    neg_inf = jnp.float32(-jnp.inf)
-    pos_inf = jnp.float32(jnp.inf)
     pw = f // 2
     qw = f // 4
 
     if fmt == 'q8':
-        # per-visit q8 hoists: t-space affine per axis + the ray origin
-        # in q-space (for the containment fallback, +-1 quantum slack
-        # absorbs the f32 rounding of the transform)
+        # per-visit q8 hoists: t-space affine per axis
         anc = [gT[b0 + ax] for ax in range(3)]
         scl = [gT[b0 + 3 + ax] for ax in range(3)]
         q_S = [s * i for s, i in zip(scl, (ix, iy, iz))]
         q_A = [a * i + ng for a, i, ng in zip(anc, (ix, iy, iz),
                                               (nx, ny, nz))]
-        q_o = [(o - a) / s for o, a, s in zip((ox, oy, oz), anc, scl)]
 
     def body(c, carry):
         hitmask, nearest, tnear = carry
+        valid = None
         if fmt == 'q8':
             word_i = c // 4
             shift = (c % 4) * 8
@@ -157,83 +172,45 @@ def _child_sweep(gT, f, ray_cols, best_d, active, packed=False, b0=0,
             t1x = qb[3] * q_S[0] + q_A[0]
             t1y = qb[4] * q_S[1] + q_A[1]
             t1z = qb[5] * q_S[2] + q_A[2]
-            cx = (q_o[0] >= qb[0] - 1.0) & (q_o[0] <= qb[3] + 1.0)
-            cy = (q_o[1] >= qb[1] - 1.0) & (q_o[1] <= qb[4] + 1.0)
-            cz = (q_o[2] >= qb[2] - 1.0) & (q_o[2] <= qb[5] + 1.0)
-            smx = jnp.where(fx, jnp.minimum(t0x, t1x),
-                            jnp.where(cx, neg_inf, pos_inf))
-            bgx = jnp.where(fx, jnp.maximum(t0x, t1x),
-                            jnp.where(cx, pos_inf, neg_inf))
-            smy = jnp.where(fy, jnp.minimum(t0y, t1y),
-                            jnp.where(cy, neg_inf, pos_inf))
-            bgy = jnp.where(fy, jnp.maximum(t0y, t1y),
-                            jnp.where(cy, pos_inf, neg_inf))
-            smz = jnp.where(fz, jnp.minimum(t0z, t1z),
-                            jnp.where(cz, neg_inf, pos_inf))
-            bgz = jnp.where(fz, jnp.maximum(t0z, t1z),
-                            jnp.where(cz, pos_inf, neg_inf))
-            tmin = jnp.maximum(jnp.maximum(smx, smy),
-                               jnp.maximum(smz, 0.0))
-            tmax = jnp.minimum(jnp.minimum(bgx, bgy), bgz)
-            hit = (tmin <= tmax) & (tmin <= best_d) & active & valid
-            hitmask = hitmask | jnp.where(
-                hit, jnp.uint32(1) << c.astype(jnp.uint32), jnp.uint32(0))
-            better = hit & (tmin < tnear)
-            tnear = jnp.where(better, tmin, tnear)
-            nearest = jnp.where(better, c, nearest)
-            return hitmask, nearest, tnear
-        if fmt == 'bf16':
-            low = c < pw
-            w = jnp.where(low, c, c - pw)
-
-            def col(k):
-                word = jax.lax.dynamic_slice_in_dim(
-                    gT, b0 + w + k * pw, 1, axis=0)[0]
-                u = jax.lax.bitcast_convert_type(word, jnp.int32)
-                lov = jax.lax.bitcast_convert_type(u << 16, jnp.float32)
-                hiv = jax.lax.bitcast_convert_type(
-                    u & jnp.int32(-65536), jnp.float32)
-                return jnp.where(low, lov, hiv)
         else:
-            def col(k):
-                return jax.lax.dynamic_slice_in_dim(gT, b0 + c + k * f,
-                                                    1, axis=0)[0]
-        lox, loy, loz = col(0), col(1), col(2)
-        hix, hiy, hiz = col(3), col(4), col(5)
-        t0x = lox * ix + nx
-        t1x = hix * ix + nx
-        t0y = loy * iy + ny
-        t1y = hiy * iy + ny
-        t0z = loz * iz + nz
-        t1z = hiz * iz + nz
-        # axes with a zero direction component (infinite inv_dir, NaN
-        # from the fma form) degrade to an exact containment test —
-        # matching IEEE evaluation of the reference's (lo - o)/d form.
-        # Treating them as always-hit makes an exactly axis-aligned ray
-        # (p ~ 1e-6/photon from the sphere sampler) sweep every node its
-        # 1-D slab overlaps — at detector scale, a ~100k-visit traversal
-        # that blows through the device watchdog.
-        cx = (ox >= lox) & (ox <= hix)
-        cy = (oy >= loy) & (oy <= hiy)
-        cz = (oz >= loz) & (oz <= hiz)
-        smx = jnp.where(fx, jnp.minimum(t0x, t1x),
-                        jnp.where(cx, neg_inf, pos_inf))
-        bgx = jnp.where(fx, jnp.maximum(t0x, t1x),
-                        jnp.where(cx, pos_inf, neg_inf))
-        smy = jnp.where(fy, jnp.minimum(t0y, t1y),
-                        jnp.where(cy, neg_inf, pos_inf))
-        bgy = jnp.where(fy, jnp.maximum(t0y, t1y),
-                        jnp.where(cy, pos_inf, neg_inf))
-        smz = jnp.where(fz, jnp.minimum(t0z, t1z),
-                        jnp.where(cz, neg_inf, pos_inf))
-        bgz = jnp.where(fz, jnp.maximum(t0z, t1z),
-                        jnp.where(cz, pos_inf, neg_inf))
+            if fmt == 'bf16':
+                low = c < pw
+                w = jnp.where(low, c, c - pw)
+
+                def col(k):
+                    word = jax.lax.dynamic_slice_in_dim(
+                        gT, b0 + w + k * pw, 1, axis=0)[0]
+                    u = jax.lax.bitcast_convert_type(word, jnp.int32)
+                    lov = jax.lax.bitcast_convert_type(u << 16, jnp.float32)
+                    hiv = jax.lax.bitcast_convert_type(
+                        u & jnp.int32(-65536), jnp.float32)
+                    return jnp.where(low, lov, hiv)
+            else:
+                def col(k):
+                    return jax.lax.dynamic_slice_in_dim(
+                        gT, b0 + c + k * f, 1, axis=0)[0]
+            lox, loy, loz = col(0), col(1), col(2)
+            hix, hiy, hiz = col(3), col(4), col(5)
+            t0x = lox * ix + nx
+            t1x = hix * ix + nx
+            t0y = loy * iy + ny
+            t1y = hiy * iy + ny
+            t0z = loz * iz + nz
+            t1z = hiz * iz + nz
+        smx = jnp.minimum(t0x, t1x)
+        bgx = jnp.maximum(t0x, t1x)
+        smy = jnp.minimum(t0y, t1y)
+        bgy = jnp.maximum(t0y, t1y)
+        smz = jnp.minimum(t0z, t1z)
+        bgz = jnp.maximum(t0z, t1z)
         tmin = jnp.maximum(jnp.maximum(smx, smy),
                            jnp.maximum(smz, 0.0))
         tmax = jnp.minimum(jnp.minimum(bgx, bgy), bgz)
-        # padding children carry NaN bounds (f32/bf16): the comparisons
-        # below are all False for NaN (q8 handled above)
+        # padding children carry NaN bounds (f32/bf16): NaN propagates
+        # through min/max here and the comparisons below are all False
         hit = (tmin <= tmax) & (tmin <= best_d) & active
+        if valid is not None:
+            hit = hit & valid
         hitmask = hitmask | jnp.where(hit,
                                       jnp.uint32(1) << c.astype(jnp.uint32),
                                       jnp.uint32(0))
@@ -452,7 +429,7 @@ def intersect_mesh_wide(origin, direction, wide, last_hit_triangle=None,
     if last_hit_triangle is None:
         last_hit_triangle = jnp.full(n, -1, jnp.int32)
 
-    inv_dir = 1.0 / direction                       # (N,3)
+    inv_dir = safe_inv(direction)                       # (N,3)
     neg_org = -origin * inv_dir
     finite = jnp.isfinite(inv_dir)
     rays = (origin, direction, inv_dir, neg_org, finite,
@@ -568,13 +545,14 @@ def _make_body_inst(inst, rays):
                           for e, l in zip(entered, loc))
 
         o_cc, d_cc = sweep_loc[0:3], sweep_loc[3:6]
-        inv_cc = tuple(1.0 / d for d in d_cc)
+        # rotation into the instance frame can mint NEW exact zeros, so
+        # the nudge applies to the frame-local direction here
+        inv_cc = tuple(safe_inv(d) for d in d_cc)
         neg_cc = tuple(-o * i for o, i in zip(o_cc, inv_cc))
-        fin_cc = tuple(jnp.isfinite(i) for i in inv_cc)
 
         sweeping = internal | is_inst
         hitmask, nearest = _child_sweep(gT, f,
-                                        (o_cc, inv_cc, neg_cc, fin_cc),
+                                        (o_cc, inv_cc, neg_cc, None),
                                         best_d, sweeping,
                                         fmt=fmt, b0=INST_B0)
         hitmask = jax.lax.bitcast_convert_type(hitmask, jnp.int32)
@@ -707,7 +685,7 @@ def _init_inst(inst, origin, direction, last_hit_triangle, mask,
     if last_hit_triangle is None:
         last_hit_triangle = jnp.full(n, -1, jnp.int32)
 
-    inv_dir = 1.0 / direction
+    inv_dir = safe_inv(direction)
     neg_org = -origin * inv_dir
     finite = jnp.isfinite(inv_dir)
     rays = (origin, direction, inv_dir, neg_org, finite,
@@ -794,7 +772,7 @@ def _staged_inst(inst, rays, state, stages):
         moved = _take_lanes((origin, direction, last_hit, state),
                             sel, n)
         o_s, d_s, last_s, state_s = moved
-        inv_s = 1.0 / d_s
+        inv_s = safe_inv(d_s)
         rays_s = (o_s, d_s, inv_s, -o_s * inv_s, jnp.isfinite(inv_s),
                   last_s)
         state_s = _staged_inst(inst, rays_s, state_s, stages[1:])
@@ -866,7 +844,7 @@ def traversal_visits(origin, direction, wide, last_hit_triangle=None,
     n = origin.shape[0]
     if last_hit_triangle is None:
         last_hit_triangle = jnp.full(n, -1, jnp.int32)
-    inv_dir = 1.0 / direction
+    inv_dir = safe_inv(direction)
     neg_org = -origin * inv_dir
     finite = jnp.isfinite(inv_dir)
     rays = (origin, direction, inv_dir, neg_org, finite,

@@ -177,17 +177,22 @@ def _visit_kernel_inst(*refs, W, F, K, D, TAG_INTERNAL, TAG_LEAF,
     entered = o_li + d_li
     sweep_loc = [jnp.where(is_inst, e, l) for e, l in zip(entered, loc)]
     o_cc, d_cc = sweep_loc[0:3], sweep_loc[3:6]
-    # derived ray registers live in vregs, never in HBM
-    inv_cc = [1.0 / d for d in d_cc]
+    # derived ray registers live in vregs, never in HBM. Exactly-zero
+    # direction components (the world sampler mints ~1e-6/photon and
+    # the instance rotation can mint new ones) are nudged to 1e-25 so
+    # the inverse is finite on every axis — the slab sweep then needs
+    # no per-child containment fallback (see ops.mesh_wide.safe_inv)
+    inv_cc = [1.0 / jnp.where(d == 0.0, jnp.float32(1e-25), d)
+              for d in d_cc]
     neg_cc = [-o * i for o, i in zip(o_cc, inv_cc)]
 
-    # --- child slab sweep (unrolled; everything stays in vregs) ---
-    neg_inf = jnp.float32(-jnp.inf)
-    pos_inf = jnp.float32(jnp.inf)
+    # --- child slab sweep (unrolled; everything stays in vregs). The
+    # nudged inverse is finite on every axis (see inv_cc above), so the
+    # sweep is the PLAIN slab arithmetic: no zero-direction containment
+    # fallback (it cost ~18 ops per child, ~45% of the sweep). ---
     hitmask = jnp.zeros_like(cur)
     nearest = jnp.zeros_like(cur)
     tnear = jnp.full_like(best_d, jnp.inf)
-    fin_ok = [jnp.isfinite(i) for i in inv_cc]
     PW = F // 2
     QW = F // 4
     sweeping = internal | is_inst
@@ -195,15 +200,11 @@ def _visit_kernel_inst(*refs, W, F, K, D, TAG_INTERNAL, TAG_LEAF,
     if FMT == 'q8':
         # per-VISIT hoisted q8 affine: t = q * (scale*inv) + (anchor*inv
         # + neg_org) — one fma per bound per child after the byte
-        # extract, same arithmetic depth as bf16. The containment
-        # fallback runs in q-space with +-1 quantum slack (absorbs the
-        # f32 rounding of the hoisted transform; conservative: a false
-        # positive only widens a degenerate axis to always-hit).
+        # extract, same arithmetic depth as bf16.
         q_anc = [gT[B0 + ax] for ax in range(3)]
         q_scl = [gT[B0 + 3 + ax] for ax in range(3)]
         q_S = [s * i for s, i in zip(q_scl, inv_cc)]
         q_A = [a * i + ng for a, i, ng in zip(q_anc, inv_cc, neg_cc)]
-        q_o = [(o - a) / s for o, a, s in zip(o_cc, q_anc, q_scl)]
 
     def _bound(g, c):
         """Bound group g (0..5 = lo_x..hi_z) of child c, at the B0
@@ -223,18 +224,16 @@ def _visit_kernel_inst(*refs, W, F, K, D, TAG_INTERNAL, TAG_LEAF,
         return (((u >> ((c & 3) * 8)) & 0xFF)).astype(jnp.float32)
 
     for c in range(F):
+        q_ok = None
         if FMT == 'q8':
             qb = [_qbyte(g, c) for g in range(6)]
+            q_ok = qb[0] <= qb[3]
             t0x = qb[0] * q_S[0] + q_A[0]
             t0y = qb[1] * q_S[1] + q_A[1]
             t0z = qb[2] * q_S[2] + q_A[2]
             t1x = qb[3] * q_S[0] + q_A[0]
             t1y = qb[4] * q_S[1] + q_A[1]
             t1z = qb[5] * q_S[2] + q_A[2]
-            ctx = (q_o[0] >= qb[0] - 1.0) & (q_o[0] <= qb[3] + 1.0)
-            cty = (q_o[1] >= qb[1] - 1.0) & (q_o[1] <= qb[4] + 1.0)
-            ctz = (q_o[2] >= qb[2] - 1.0) & (q_o[2] <= qb[5] + 1.0)
-            q_ok = qb[0] <= qb[3]
         else:
             lox, loy, loz = _bound(0, c), _bound(1, c), _bound(2, c)
             hix, hiy, hiz = _bound(3, c), _bound(4, c), _bound(5, c)
@@ -244,30 +243,18 @@ def _visit_kernel_inst(*refs, W, F, K, D, TAG_INTERNAL, TAG_LEAF,
             t1y = hiy * inv_cc[1] + neg_cc[1]
             t0z = loz * inv_cc[2] + neg_cc[2]
             t1z = hiz * inv_cc[2] + neg_cc[2]
-            # zero-direction axes (non-finite inv) fall back to an exact
-            # origin-containment test, like the IEEE evaluation of the
-            # reference's (lo - o)/d slab form; always-hit would make
-            # axis-aligned rays sweep every node overlapping their 1-D
-            # slab (see ops.mesh_wide._child_sweep)
-            ctx = (o_cc[0] >= lox) & (o_cc[0] <= hix)
-            cty = (o_cc[1] >= loy) & (o_cc[1] <= hiy)
-            ctz = (o_cc[2] >= loz) & (o_cc[2] <= hiz)
-        smx = jnp.where(fin_ok[0], jnp.minimum(t0x, t1x),
-                        jnp.where(ctx, neg_inf, pos_inf))
-        bgx = jnp.where(fin_ok[0], jnp.maximum(t0x, t1x),
-                        jnp.where(ctx, pos_inf, neg_inf))
-        smy = jnp.where(fin_ok[1], jnp.minimum(t0y, t1y),
-                        jnp.where(cty, neg_inf, pos_inf))
-        bgy = jnp.where(fin_ok[1], jnp.maximum(t0y, t1y),
-                        jnp.where(cty, pos_inf, neg_inf))
-        smz = jnp.where(fin_ok[2], jnp.minimum(t0z, t1z),
-                        jnp.where(ctz, neg_inf, pos_inf))
-        bgz = jnp.where(fin_ok[2], jnp.maximum(t0z, t1z),
-                        jnp.where(ctz, pos_inf, neg_inf))
+        smx = jnp.minimum(t0x, t1x)
+        bgx = jnp.maximum(t0x, t1x)
+        smy = jnp.minimum(t0y, t1y)
+        bgy = jnp.maximum(t0y, t1y)
+        smz = jnp.minimum(t0z, t1z)
+        bgz = jnp.maximum(t0z, t1z)
         tmin = jnp.maximum(jnp.maximum(smx, smy), jnp.maximum(smz, 0.0))
         tmax = jnp.minimum(jnp.minimum(bgx, bgy), bgz)
+        # padding children carry NaN bounds (f32/bf16): NaN propagates
+        # through min/max and the comparisons below are all False
         hit = (tmin <= tmax) & (tmin <= best_d) & sweeping
-        if FMT == 'q8':
+        if q_ok is not None:
             hit = hit & q_ok
         # two's-complement wrap keeps bit 31 usable for fanout-32 masks
         bit = int(np.uint32(1 << c).view(np.int32))

@@ -222,13 +222,17 @@ def test_q8_bounds_match_f32():
     assert hit.sum() > 500
     assert np.allclose(np.asarray(dq)[hit], np.asarray(db)[hit],
                        rtol=1e-5, atol=1e-3)
-    # axis-aligned rays exercise the q8 containment fallback
+    # axis-aligned rays exercise the zero-direction nudge (safe_inv);
+    # the symmetric array makes the winning TRIANGLE a tie between
+    # formats (different conservative boxes -> different descent
+    # order), so assert on hit/miss and distance
     o0 = np.zeros((6, 3), np.float32)
     d0 = np.concatenate([np.eye(3, dtype=np.float32),
                          -np.eye(3, dtype=np.float32)])
     ta, da = intersect_mesh_wide(jnp.asarray(o0), jnp.asarray(d0), bq)
     tf, df_ = intersect_mesh_wide(jnp.asarray(o0), jnp.asarray(d0), bb)
-    assert (np.asarray(ta) == np.asarray(tf)).all()
+    assert ((np.asarray(ta) >= 0) == (np.asarray(tf) >= 0)).all()
+    assert np.allclose(np.asarray(da), np.asarray(df_), rtol=1e-5)
 
 
 def test_bf16_directed_rounding():

@@ -263,6 +263,57 @@ def _emit(metrics):
     }), flush=True)
 
 
+def regression_warnings(history, current):
+    """Regression gate over the bench history (pure function, tested in
+    tests/test_perf_tuning.py): `history` is a list of prior record
+    dicts (as appended to BENCH_HISTORY.jsonl), `current` the new one.
+    Returns warning strings when the quick config drops below 1.0x
+    baseline or either config regresses >5% vs the best recorded."""
+    warns = []
+    q = current.get('quick', {}).get('photons_per_sec_vs_baseline')
+    if q is not None and q < 1.0:
+        warns.append('quick config below 1.0x baseline: %.3fx' % q)
+    for cfg in ('quick', 'headline'):
+        cur = current.get(cfg, {}).get('photon_propagation_throughput')
+        if cur is None:
+            continue
+        prior = [r.get(cfg, {}).get('photon_propagation_throughput')
+                 for r in history]
+        prior = [p for p in prior if p]
+        if prior and cur < 0.95 * max(prior):
+            warns.append('%s regressed >5%% vs best recorded: '
+                         '%.0f vs %.0f photons/s'
+                         % (cfg, cur, max(prior)))
+    return warns
+
+
+def _append_history(extra):
+    """Append this run's metrics to BENCH_HISTORY.jsonl and print
+    regression warnings against the recorded history (VERDICT r4 item:
+    BENCH_EXTRA is overwritten per round; the history accumulates)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        'BENCH_HISTORY.jsonl')
+    try:
+        history = []
+        if os.path.exists(path):
+            with open(path) as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        try:
+                            history.append(json.loads(line))
+                        except Exception:
+                            pass
+        record = dict(extra)
+        record['t'] = time.time()
+        for w in regression_warnings(history, record):
+            print('# BENCH REGRESSION: %s' % w, file=sys.stderr)
+        with open(path, 'a') as f:
+            f.write(json.dumps(record) + '\n')
+    except Exception as e:
+        print('# bench history write failed: %s' % e, file=sys.stderr)
+
+
 def _write_extra(extra):
     """Merge-write BENCH_EXTRA.json: a quick-only or partially-failed run
     must never erase a previously completed config's entry."""
@@ -304,9 +355,11 @@ def main():
         except Exception as e:
             # a headline failure must not erase the quick result
             print('# headline config failed: %s' % e, file=sys.stderr)
+            _append_history(extra)
             return
         _write_extra(extra)
         _emit(extra['headline'])
+    _append_history(extra)
 
 
 if __name__ == '__main__':

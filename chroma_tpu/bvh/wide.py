@@ -748,6 +748,122 @@ def upgrade_instanced_rows_v3(rows, fanout, leaf_size, packed):
     return new
 
 
+def table_stats(rows, fanout, leaf_size, fmt='bf16'):
+    """Tree-quality statistics of an instanced row table (host numpy).
+
+    Returns a dict: row counts by type, TLAS/BLAS internal split, mean/min
+    children per internal node, mean triangles per leaf, and the
+    expected-visit proxy (sum of internal-node box areas over the root
+    area — the quantity the collapse optimizes; a regression here shows
+    up as extra traversal visits long before it is visible in a bench
+    number). The analog of the reference's `chroma-bvh stat`
+    (reference: bin/chroma-bvh:118-176). Computed from the table alone,
+    so a loaded cache can be checked without a rebuild."""
+    rows = np.asarray(rows)
+    w = rows.shape[1]
+    tags = rows[:, w - 1].view(np.int32)
+    internal = np.flatnonzero(tags == TAG_INTERNAL)
+    leaf = np.flatnonzero(tags == TAG_LEAF)
+    inst = np.flatnonzero(tags == TAG_INSTANCE)
+
+    stats = {'rows': int(rows.shape[0]), 'width': int(w),
+             'internal': int(len(internal)), 'leaf': int(len(leaf)),
+             'instance': int(len(inst))}
+
+    # decode child boxes of internal nodes per bounds format
+    b = rows[internal]
+    if fmt == 'bf16':
+        pw = fanout // 2
+        wd = b[:, INST_B0:INST_B0 + 3 * fanout].view(np.uint32)
+
+        def _grp(g, half):
+            words = wd[:, g * pw:(g + 1) * pw]
+            bits = ((words & 0xFFFF) << 16) if half == 0 \
+                else (words & np.uint32(0xFFFF0000))
+            return bits.astype(np.uint32).view(np.float32)
+
+        # child c < pw sits in the LOW half of word c, child c >= pw in
+        # the HIGH half of word c - pw (_pack_bounds_words)
+        lo = np.concatenate(
+            [np.stack([_grp(ax, h) for ax in range(3)], -1)
+             for h in (0, 1)], axis=1)
+        hi = np.concatenate(
+            [np.stack([_grp(3 + ax, h) for ax in range(3)], -1)
+             for h in (0, 1)], axis=1)
+    elif fmt == 'f32':
+        bb = b[:, INST_B0:INST_B0 + 6 * fanout].reshape(-1, 6, fanout)
+        lo = np.moveaxis(bb[:, 0:3], 1, 2)
+        hi = np.moveaxis(bb[:, 3:6], 1, 2)
+    else:                      # q8: occupancy from byte validity
+        qw = fanout // 4
+        anchor = b[:, INST_B0:INST_B0 + 3]
+        scale = b[:, INST_B0 + 3:INST_B0 + 6]
+        qwords = b[:, INST_B0 + 6:INST_B0 + 6 + 6 * qw].view(np.uint32)
+        qb = np.stack([(qwords >> (8 * k)) & 0xFF for k in range(4)],
+                      -1).reshape(len(b), 6, fanout // 4 * 4)[..., :fanout]
+        lo = (anchor[:, None, :]
+              + np.moveaxis(qb[:, 0:3].astype(np.float32), 1, 2)
+              * scale[:, None, :])
+        hi = (anchor[:, None, :]
+              + np.moveaxis(qb[:, 3:6].astype(np.float32), 1, 2)
+              * scale[:, None, :])
+        lo = np.where((qb[:, 0:3] <= qb[:, 3:6]).transpose(0, 2, 1),
+                      lo, np.nan)
+
+    occupied = ~np.isnan(lo[..., 0]) & ~(np.isnan(hi[..., 0])
+                                         if fmt != 'q8' else False)
+    occ = occupied.sum(axis=1)
+    stats['mean_children'] = float(occ.mean()) if len(occ) else 0.0
+    stats['min_children'] = int(occ.min()) if len(occ) else 0
+
+    # expected-visit proxy: node box = union of child boxes
+    nlo = np.where(occupied[..., None], lo, np.inf).min(axis=1)
+    nhi = np.where(occupied[..., None], hi, -np.inf).max(axis=1)
+    d = np.maximum(nhi - nlo, 0.0)
+    areas = d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0]
+    root_area = areas[internal == 0].sum() if (len(internal)
+                                               and internal[0] == 0) \
+        else (areas.max() if len(areas) else 1.0)
+    stats['visit_proxy'] = float(areas.sum() / max(root_area, 1e-30))
+
+    # TLAS/BLAS internal split (BLAS rows start at the smallest
+    # instance-embedded first-child pointer)
+    if len(inst):
+        fc_col = INST_B0 + bounds_cols(fmt, fanout)
+        roots = rows[inst, fc_col].view(np.int32)
+        blas0 = int(roots.min())
+        stats['tlas_internal'] = int((internal < blas0).sum())
+        stats['blas_rows'] = int(rows.shape[0] - blas0)
+
+    if len(leaf):
+        tri = np.stack([rows[leaf, LEAF_STRIDE * k + 9].view(np.int32)
+                        for k in range(leaf_size)], axis=1)
+        stats['mean_leaf_tris'] = float((tri >= 0).sum(axis=1).mean())
+    return stats
+
+
+def check_table_stats(stats, fanout):
+    """Sanity bounds on table_stats output; returns a list of violation
+    strings (empty = healthy). Thresholds are loose — they catch the
+    collapse regressing to 2-child wide nodes (round-4 bug class: mean
+    5.0 of 32 slots on the headline TLAS), not ordinary variation."""
+    bad = []
+    if stats.get('internal', 0) >= 64:
+        mc = stats.get('mean_children', 0.0)
+        if mc < max(fanout * 0.25, 4.0):
+            bad.append('under-filled wide nodes: mean %.1f children of '
+                       '%d slots' % (mc, fanout))
+        proxy = stats.get('visit_proxy', 0.0)
+        if proxy > 60.0:
+            bad.append('expected-visit proxy %.1f (healthy tables '
+                       'measure <= ~30)' % proxy)
+    if stats.get('leaf', 0) >= 64:
+        if stats.get('mean_leaf_tris', 0.0) < 2.0:
+            bad.append('nearly-empty leaves: mean %.2f triangles'
+                       % stats.get('mean_leaf_tris', 0.0))
+    return bad
+
+
 def build_instanced_bvh(instances, fanout=None, leaf_size=LEAF_SIZE,
                         sah_threshold=200000, want_meta=False,
                         material_codes=None, packed_fanout=None,
@@ -946,6 +1062,20 @@ def build_instanced_bvh(instances, fanout=None, leaf_size=LEAF_SIZE,
     # descends straight into the embedded root sweep — no extra level)
     blas_depth = max((d for _r, d in blas), default=0)
     max_depth = tlas_depth + 1 + blas_depth + 1
+
+    # tree-quality stats: logged at build, persisted into the geocache
+    # sidecar, and bounds-checked on every cache load (a collapse
+    # regression fails loudly instead of showing up as a silent bench
+    # drop — VERDICT r4 item 4)
+    stats = table_stats(table, fanout, leaf_size, fmt)
+    from chroma_tpu.log import logger
+    logger.info('instanced BVH: %d rows (%d tlas-internal, %d instance, '
+                '%d blas), mean children %.1f, visit proxy %.1f',
+                stats['rows'], stats.get('tlas_internal', 0),
+                stats['instance'], stats.get('blas_rows', 0),
+                stats['mean_children'], stats['visit_proxy'])
+    for v in check_table_stats(stats, fanout):
+        logger.warning('instanced BVH quality: %s', v)
 
     built = InstancedBVH(
         rows=jnp.asarray(table),

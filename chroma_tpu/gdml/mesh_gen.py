@@ -7,8 +7,9 @@ dependencies. Lengths are mm, angles radians (converted by the loader).
 
 Supported: box, tube (incl. rmin/partial phi), eltube, orb, sphere
 (incl. shells/partial), polycone, polyhedra, torus, trd.
-CSG booleans need a mesh-boolean engine and raise NotImplementedError
-(install gmsh to enable them via the optional hook in the loader).
+CSG booleans (union/subtraction/intersection) are meshed by the loader
+through the built-in BSP engine (chroma_tpu.csg, no gmsh needed — see
+chroma_tpu.gdml.loader); only unknown solid TYPES raise.
 """
 from __future__ import annotations
 

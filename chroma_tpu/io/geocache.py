@@ -87,6 +87,18 @@ def save_geometry_arrays(path, ga):
     arrays = {}
     meta = {'__version__': FORMAT_VERSION}
     _flatten(ga, 'ga', arrays, meta)
+    if meta.get('ga.wide.__class__') == 'InstancedBVH':
+        # tree-quality stats ride in the sidecar (asserted on load; the
+        # '__stats__' key matches no dataclass field so _unflatten
+        # ignores it) — VERDICT r4 item 4
+        from chroma_tpu.bvh.wide import table_stats
+        packed = bool(meta.get('ga.wide.packed', [None, False])[1])
+        fmtv = (meta.get('ga.wide.bounds_fmt')
+                or [None, 'bf16' if packed else 'f32'])[1]
+        meta['ga.wide.__stats__'] = table_stats(
+            arrays['ga.wide.rows'],
+            int(meta['ga.wide.fanout'][1]),
+            int(meta['ga.wide.leaf_size'][1]), fmtv)
     np.savez(path + '.npz', **arrays)
     with open(path + '.json', 'w') as f:
         json.dump(meta, f)
@@ -148,6 +160,22 @@ def load_geometry_arrays(path, lean=False):
             arrays['ga.wide.rows'],
             extra=(int(meta['ga.wide.fanout'][1]),
                    int(meta['ga.wide.leaf_size'][1])) + extra)
+    if meta.get('ga.wide.__class__') == 'InstancedBVH':
+        # recompute the tree-quality stats from the loaded table and
+        # warn on pathological trees (a collapse regression in a stale
+        # or hand-edited cache fails loudly here, not as a silent bench
+        # drop); the sidecar copy is the build-time record
+        from chroma_tpu.bvh.wide import table_stats, check_table_stats
+        packed = bool(meta.get('ga.wide.packed', [None, False])[1])
+        fmtv = (meta.get('ga.wide.bounds_fmt')
+                or [None, 'bf16' if packed else 'f32'])[1]
+        fanout = int(meta['ga.wide.fanout'][1])
+        stats = table_stats(arrays['ga.wide.rows'], fanout,
+                            int(meta['ga.wide.leaf_size'][1]), fmtv)
+        for v in check_table_stats(stats, fanout):
+            from chroma_tpu.log import logger
+            logger.warning('cached instanced BVH quality (%s): %s',
+                           path, v)
     ga = _unflatten('ga', arrays, meta, _registry(), True)
     if fp is not None:
         from chroma_tpu import perfcache

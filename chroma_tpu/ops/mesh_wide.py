@@ -56,6 +56,29 @@ def _stage_min():
 # CHROMA_TRAV_UNROLL forces a fixed value.
 TRAV_UNROLL = os.environ.get('CHROMA_TRAV_UNROLL', 'auto')
 
+# Independent interleaved traversal chains per loop (instanced path).
+# The per-visit row gather is LATENCY-bound (measured v5e: ~12.5 ms for
+# 1M random rows at ANY width 16..128 f32 — width-independent), and the
+# XLA:TPU scheduler overlaps the gather's DMA work with the Pallas visit
+# kernel when the two belong to INDEPENDENT chains: two interleaved
+# gather+kernel chains measured 8.1 ms/iteration where 2x one chain is
+# 25.1 ms (ratio 0.32). Splitting the batch into CHAINS lane groups that
+# step in lockstep inside ONE while_loop keeps every chain's gather in
+# flight under the other chains' kernels. Results are bitwise identical
+# to the single-chain loop (each lane's walk is independent; only the
+# grouping changes).
+def _chains_for(n):
+    "Chain count for an n-lane traversal (env read per trace: testable)."
+    try:
+        c = int(os.environ.get('CHROMA_TRAV_CHAINS', '2'))
+    except ValueError:
+        c = 2
+    if c <= 1:
+        return 1
+    if n % (c * 256) or n // c < 1024:
+        return 1
+    return c
+
 
 def _unroll_for(n):
     # measured: unroll 2 wins ~1.6x end-to-end; deeper width-adaptive
@@ -676,6 +699,79 @@ def _make_body_inst_pallas(inst, rays, world_loc):
     return body
 
 
+def _split_lanes(tree, n, c):
+    "Split every leaf's lane axis into c equal contiguous groups."
+    per = n // c
+    return [jax.tree_util.tree_map(
+        lambda a, i=i: (a[i * per:(i + 1) * per]
+                        if _lane_axis(a, n) == 0
+                        else a[:, i * per:(i + 1) * per]), tree)
+        for i in range(c)]
+
+
+def _concat_lanes(trees, per):
+    "Inverse of _split_lanes (`per` = lanes per group)."
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=_lane_axis(xs[0], per)),
+        *trees)
+
+
+def _run_chained(inst, rays, state, limit=None, unroll=None):
+    """Run the instanced traversal loop — bounded to `limit` visits or to
+    completion — with the batch split into _chains_for(n) INDEPENDENT
+    lane groups stepping in lockstep inside one while_loop. Each group
+    has its own row gather and visit-kernel launch; since the groups
+    share no data, the XLA scheduler overlaps one group's latency-bound
+    gather with the others' kernels (measured: two interleaved chains
+    run at 0.32x the serial cost of two). Bitwise identical to the
+    single-chain loop. Returns the final state (same lane order)."""
+    n = rays[0].shape[0]
+    c = _chains_for(n)
+    unroll = _unroll_for(n) if unroll is None else unroll
+
+    if c == 1:
+        body = _unrolled(_make_body_inst(inst, rays), n, unroll)
+        if limit is None:
+            return jax.lax.while_loop(_any_active, body, state)
+
+        def cond1(carry):
+            i, st = carry
+            return (i < limit) & _any_active(st)
+
+        def body1(carry):
+            i, st = carry
+            return i + unroll, body(st)
+
+        return jax.lax.while_loop(cond1, body1, (0, state))[1]
+
+    rays_h = _split_lanes(rays, n, c)
+    state_h = tuple(_split_lanes(state, n, c))
+    bodies = [_unrolled(_make_body_inst(inst, r), n // c, unroll)
+              for r in rays_h]
+
+    def any_h(sts):
+        alive = sts[0][0] >= 0
+        out = jnp.any(alive)
+        for st in sts[1:]:
+            out = out | jnp.any(st[0] >= 0)
+        return out
+
+    def bodyc(carry):
+        i, sts = carry
+        return i + unroll, tuple(b(st) for b, st in zip(bodies, sts))
+
+    if limit is None:
+        def condc(carry):
+            return any_h(carry[1])
+    else:
+        def condc(carry):
+            i, sts = carry
+            return (i < limit) & any_h(sts)
+
+    _, state_h = jax.lax.while_loop(condc, bodyc, (0, state_h))
+    return _concat_lanes(state_h, n // c)
+
+
 def _init_inst(inst, origin, direction, last_hit_triangle, mask,
                best_limit):
     "Fresh root-descent (rays, state) for the instanced traversal."
@@ -738,27 +834,17 @@ def _staged_inst(inst, rays, state, stages):
     (reference: chroma/cuda/mesh.h:45-126 walks per-thread and pays no
     convergence tax; a vector machine has to compact instead)."""
     n = rays[0].shape[0]
-    unroll = _unroll_for(n)
-    body = _unrolled(_make_body_inst(inst, rays), n, unroll)
 
     if not stages:
-        return jax.lax.while_loop(_any_active, body, state)
+        return _run_chained(inst, rays, state)
 
     visits, div = stages[0]
 
-    def cond1(carry):
-        i, st = carry
-        return (i < visits) & _any_active(st)
-
-    def body1(carry):
-        i, st = carry
-        return i + unroll, body(st)
-
-    _, state = jax.lax.while_loop(cond1, body1, (0, state))
+    state = _run_chained(inst, rays, state, limit=visits)
 
     m = n // div
     if m < MIN_TWO_PHASE // COMPACT_DIVISOR or m % 256:
-        return jax.lax.while_loop(_any_active, body, state)
+        return _run_chained(inst, rays, state)
 
     origin, direction, _inv, _neg, _fin, last_hit = rays
 
@@ -797,7 +883,7 @@ def _staged_inst(inst, rays, state, stages):
 
     # overflow lanes (survivors beyond the slice — rare by construction)
     # finish at full width; free when absent (immediate exit)
-    return jax.lax.while_loop(_any_active, body, state)
+    return _run_chained(inst, rays, state)
 
 
 def intersect_mesh_instanced(origin, direction, inst,
@@ -822,8 +908,7 @@ def intersect_mesh_instanced(origin, direction, inst,
         stages = _traversal_stages() if (two_phase
                                          and n >= _stage_min()) else ()
     if not two_phase or n < MIN_TWO_PHASE or not stages:
-        body = _unrolled(_make_body_inst(inst, rays), n)
-        state = jax.lax.while_loop(_any_active, body, state)
+        state = _run_chained(inst, rays, state)
     else:
         state = _staged_inst(inst, rays, state, stages)
     if want_context:

@@ -386,3 +386,40 @@ def test_staged_inst_overflow_lanes():
         hit = np.asarray(ref[0]) >= 0
         assert np.allclose(np.asarray(got[1])[hit],
                            np.asarray(ref[1])[hit]), (n, stages)
+
+
+def test_chained_traversal_bitwise_equivalence():
+    """The interleaved-chain loop (CHROMA_TRAV_CHAINS>1) returns bitwise
+    identical hits to the single-chain loop — each lane's walk is
+    independent, only the lane grouping changes — including through a
+    staged boundary and with want_context."""
+    from chroma_tpu.ops.mesh_wide import intersect_mesh_instanced
+
+    geo = _pmt_array_geometry()
+    ga = build_geometry_arrays(geo)
+    o, d = _random_rays(4096, seed=13)
+    old = os.environ.get('CHROMA_TRAV_CHAINS')
+    try:
+        os.environ['CHROMA_TRAV_CHAINS'] = '1'
+        r1 = intersect_mesh_instanced(o, d, ga.wide, want_context=True)
+        s1 = intersect_mesh_instanced(o, d, ga.wide,
+                                      stages=((6, 2), (6, 2)))
+        for c in ('2', '4'):
+            os.environ['CHROMA_TRAV_CHAINS'] = c
+            rc = intersect_mesh_instanced(o, d, ga.wide,
+                                          want_context=True)
+            for a, b in zip(r1, rc):
+                assert (np.asarray(a) == np.asarray(b)).all(), c
+            sc = intersect_mesh_instanced(o, d, ga.wide,
+                                          stages=((6, 2), (6, 2)))
+            for a, b in zip(s1, sc):
+                assert (np.asarray(a) == np.asarray(b)).all(), c
+        # non-divisible width falls back to one chain (still correct)
+        os.environ['CHROMA_TRAV_CHAINS'] = '3'
+        r3 = intersect_mesh_instanced(o, d, ga.wide)
+        assert (np.asarray(r3[0]) == np.asarray(r1[0])).all()
+    finally:
+        if old is None:
+            os.environ.pop('CHROMA_TRAV_CHAINS', None)
+        else:
+            os.environ['CHROMA_TRAV_CHAINS'] = old

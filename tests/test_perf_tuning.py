@@ -82,3 +82,118 @@ def test_learned_hit_gather_width():
         step = 1 << max(int(int(n_det * 1.07) + 1).bit_length() - 3, 10)
         assert m % step == 0 or m in (MIN_HIT_M, n)
     assert _learned_m(2 * n, n) == n
+
+
+def test_bench_regression_gate():
+    """The bench history gate (bench.regression_warnings) fires on a
+    quick-config drop below 1.0x baseline and on >5% regressions vs the
+    best recorded run, and stays silent otherwise."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from bench import regression_warnings
+
+    history = [
+        {'t': 1.0, 'quick': {'photon_propagation_throughput': 2.8e6,
+                             'photons_per_sec_vs_baseline': 1.12},
+         'headline': {'photon_propagation_throughput': 1.29e6,
+                      'photons_per_sec_vs_baseline': 0.515}},
+        {'t': 2.0, 'quick': {'photon_propagation_throughput': 2.6e6,
+                             'photons_per_sec_vs_baseline': 1.04}},
+    ]
+    # healthy run: no warnings
+    ok = {'quick': {'photon_propagation_throughput': 2.9e6,
+                    'photons_per_sec_vs_baseline': 1.16},
+          'headline': {'photon_propagation_throughput': 1.30e6,
+                       'photons_per_sec_vs_baseline': 0.52}}
+    assert regression_warnings(history, ok) == []
+
+    # quick below baseline AND headline >5% below the best recorded
+    bad = {'quick': {'photon_propagation_throughput': 2.4e6,
+                     'photons_per_sec_vs_baseline': 0.96},
+           'headline': {'photon_propagation_throughput': 1.1e6,
+                        'photons_per_sec_vs_baseline': 0.44}}
+    warns = regression_warnings(history, bad)
+    assert any('below 1.0x' in w for w in warns), warns
+    assert any('headline regressed' in w for w in warns), warns
+    # quick 2.4e6 is also >5% below the best recorded 2.8e6
+    assert any('quick regressed' in w for w in warns), warns
+
+    # empty history: only the baseline gate can fire
+    assert regression_warnings([], ok) == []
+
+
+def test_real_tlas_build_stats():
+    """Tree-quality stats of the ACTUAL quick-config detector TLAS (630
+    PMT instances + world sphere, built from the live instance list):
+    a collapse regression fails here, not as a silent bench drop. Also
+    unit-checks the violation detector on a pathological stats dict."""
+    import jax
+    from chroma_tpu import demo
+    from chroma_tpu.demo.pmt import build_8inch_pmt_with_lc
+    from chroma_tpu.make import sphere
+    from chroma_tpu.transform import make_rotation_matrix, normalize
+    from chroma_tpu.bvh.wide import (build_instanced_bvh, table_stats,
+                                     check_table_stats, fmt_of)
+
+    pmt = build_8inch_pmt_with_lc().mesh
+    world = sphere(4500.0, nsteps=200)
+    instances = [(world, None, None, 0)]
+    base = len(world.triangles)
+    for pos in demo.spherical_spiral(4000.0, 400.0):
+        direction = -normalize(pos)
+        y = np.array((0.0, 1.0, 0.0))
+        rot = make_rotation_matrix(
+            np.arccos(np.dot(y, direction)), np.cross(direction, y))
+        instances.append((pmt, rot, pos, base))
+        base += len(pmt.triangles)
+
+    inst = build_instanced_bvh(instances)
+    st = table_stats(np.asarray(inst.rows), inst.fanout, inst.leaf_size,
+                     fmt_of(inst))
+    assert check_table_stats(st, inst.fanout) == [], st
+    assert st['instance'] == len(instances)
+    # the quality bar the round-4 collapse fix established: well-filled
+    # wide nodes and a bounded expected-visit proxy on the real tree
+    assert st['mean_children'] >= inst.fanout * 0.3, st
+    assert st['visit_proxy'] <= 30.0, st
+    assert st['mean_leaf_tris'] >= 4.0, st
+
+    # pathological trees must trip the detector
+    bad = dict(st, mean_children=3.0, internal=4000)
+    assert any('under-filled' in v
+               for v in check_table_stats(bad, inst.fanout))
+    bad = dict(st, visit_proxy=90.0)
+    assert any('proxy' in v for v in check_table_stats(bad, inst.fanout))
+
+
+def test_geocache_sidecar_stats(tmp_path):
+    """save_geometry_arrays writes the tree-quality stats into the JSON
+    sidecar and load_geometry_arrays re-checks the loaded table."""
+    import json
+    from chroma_tpu.geometry import Geometry, Solid, vacuum
+    from chroma_tpu.demo.optics import water
+    from chroma_tpu.make import box, sphere
+    from chroma_tpu.ops.types import build_geometry_arrays
+    from chroma_tpu.io.geocache import (save_geometry_arrays,
+                                        load_geometry_arrays)
+
+    geo = Geometry(vacuum)
+    geo.add_solid(Solid(sphere(1200.0, nsteps=16), water, vacuum))
+    unit = Solid(box(120.0, 80.0, 60.0), water, water)
+    for i in range(5):
+        geo.add_solid(unit, None, np.array([400.0 * i - 800.0, 0.0, 0.0]))
+    geo.flatten()
+    ga = build_geometry_arrays(geo)
+
+    path = str(tmp_path / 'geo')
+    save_geometry_arrays(path, ga)
+    with open(path + '.json') as f:
+        meta = json.load(f)
+    st = meta['ga.wide.__stats__']
+    assert st['instance'] == 6 and st['rows'] > 0
+    assert 'visit_proxy' in st and 'mean_children' in st
+
+    ga2 = load_geometry_arrays(path)
+    assert ga2 is not None
+    assert np.asarray(ga2.wide.rows).shape == np.asarray(ga.wide.rows).shape

@@ -123,12 +123,23 @@ def photon_bomb(n, seed):
     return ps
 
 
+# HBM bytes one traversal visit moves per lane, for the roofline metric:
+# the gathered W-column f32 row is touched three times (random table
+# read, gather buffer write, kernel read) plus the carried state
+# (~38 (N,)-row streams in+out: registers, stacks, hit context) and the
+# read-only ray constants. See docs/design.md "visit cost anatomy".
+VISIT_STATE_BYTES = 340.0
+HBM_PEAK_GBPS = 819.0      # v5e
+
+
 def measure_rays(ga, nrays, reps):
     """BVH ray throughput: nearest-triangle queries on isotropic rays
-    (the reference's distance_to_mesh, cuda/mesh.h:131-159)."""
+    (the reference's distance_to_mesh, cuda/mesh.h:131-159).
+    Returns (rays/s, mean visits/ray, modeled HBM GB/s moved)."""
     import jax
     import numpy as np
-    from chroma_tpu.ops.mesh_wide import intersect_mesh_wide
+    from chroma_tpu.ops.mesh_wide import (intersect_mesh_wide,
+                                          traversal_visits)
     from chroma_tpu.ops.propagate import stages_for
 
     # the tuned staging spec the propagation hot path runs with (the
@@ -145,7 +156,16 @@ def measure_rays(ga, nrays, reps):
         dt = time.time() - t0
         if rep > 0:             # first call includes compile
             best = min(best, dt)
-    return nrays / best
+
+    # roofline: mean visits/ray (64k sample) x bytes/visit x rays/s
+    ps = photon_bomb(min(nrays, 1 << 16), 999)
+    v = traversal_visits(ps.pos, ps.dir, ga.wide,
+                         ps.last_hit_triangle)[0]
+    mean_visits = float(np.asarray(v).mean())
+    w = int(ga.wide.rows.shape[1])
+    bytes_per_visit = 3 * w * 4 + VISIT_STATE_BYTES
+    hbm_gbps = (nrays / best) * mean_visits * bytes_per_visit / 1e9
+    return nrays / best, mean_visits, hbm_gbps
 
 
 def run_config(quick, nphotons, reps):
@@ -204,10 +224,16 @@ def run_config(quick, nphotons, reps):
     # the secondary metrics must never cost the headline number: a
     # device/tunnel failure here still reports the propagate throughput
     try:
-        rays_per_sec = measure_rays(ga, nphotons, max(reps - 1, 1))
-        print('# BVH ray throughput: %.2f Mrays/s' % (rays_per_sec / 1e6),
-              file=sys.stderr)
+        rays_per_sec, mean_visits, hbm_gbps = measure_rays(
+            ga, nphotons, max(reps - 1, 1))
+        print('# BVH ray throughput: %.2f Mrays/s (%.1f visits/ray, '
+              '~%.0f GB/s moved = %.0f%% of HBM peak)'
+              % (rays_per_sec / 1e6, mean_visits, hbm_gbps,
+                 100.0 * hbm_gbps / HBM_PEAK_GBPS), file=sys.stderr)
         metrics['bvh_ray_throughput_mrays'] = round(rays_per_sec / 1e6, 3)
+        metrics['traversal_mean_visits'] = round(mean_visits, 2)
+        metrics['hbm_gbps_moved'] = round(hbm_gbps, 1)
+        metrics['hbm_utilization'] = round(hbm_gbps / HBM_PEAK_GBPS, 4)
         sim_value = measure_simulation(ga, nphotons, max(reps - 1, 1))
         print('# Simulation-level: %.0f photons/s (%.0f%% of raw '
               'propagate)' % (sim_value, 100.0 * sim_value / value),

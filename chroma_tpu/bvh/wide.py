@@ -523,6 +523,50 @@ def _binary_sah_build(lo, hi, max_leaf, nbins=16):
                 hi=np.asarray(NHi, np.float32), perm=perm)
 
 
+def _collapse_tables(left, right, area, fanout):
+    """Optimal BVH2->wide collapse DP tables (native kit when available,
+    numpy otherwise): minimize the sum of wide-node areas — the
+    expected-internal-visit proxy (a node is visited with probability
+    proportional to its box area). Measured on the 29k-instance headline
+    TLAS vs the greedy leafcount collapse: proxy 8.24 -> 6.54 (-21%),
+    2715 -> 1419 wide nodes, mean children 11.8 -> 21.7.
+
+    Returns (forcost (n, F+1) f64, jch (n, F+1) u8): forcost[v][i] is
+    the min cost of representing v's subtree as a forest of <= i roots;
+    jch[v][i] = 0 keeps v whole, j splits into (j, i-j) over (l, r)."""
+    from chroma_tpu import native
+    out = native.collapse_dp(left, right, area, fanout)
+    if out is not None:
+        return out
+    n = len(left)
+    S = fanout + 1
+    INF = 1e300
+    forcost = np.zeros((n, S), np.float64)
+    jch = np.zeros((n, S), np.uint8)
+    idx = np.arange(1, fanout)          # j candidates
+    for v in range(n - 1, -1, -1):
+        if left[v] < 0:
+            continue
+        fl = forcost[left[v]]
+        fr = forcost[right[v]]
+        M = fl[1:fanout, None] + fr[None, 1:fanout]
+        conv = np.full(S, INF)
+        js = np.zeros(S, np.uint8)
+        for i in range(2, S):
+            jj = idx[:i - 1]
+            vals = M[jj - 1, i - jj - 1]
+            b = int(np.argmin(vals))
+            conv[i] = vals[b]
+            js[i] = jj[b]
+        Cv = area[v] + conv[fanout]
+        forcost[v, 0] = INF
+        forcost[v, 1] = Cv
+        better = conv < Cv
+        forcost[v, 2:] = np.where(better[2:], conv[2:], Cv)
+        jch[v, 2:] = np.where(better[2:], js[2:], 0)
+    return forcost, jch
+
+
 def _emit_wide_rows(bn, fanout, width, make_leaf_row, packed=False,
                     b0=0, fmt=None):
     """Collapse a binary SAH tree into tagged wide rows.
@@ -545,15 +589,49 @@ def _emit_wide_rows(bn, fanout, width, make_leaf_row, packed=False,
     left, right = bn['left'], bn['right']
     blo, bhi = bn['lo'], bn['hi']
     d = np.maximum(bhi - blo, 0.0)
-    areas = d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0]
+    areas = (d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2]
+             + d[:, 2] * d[:, 0]).astype(np.float64)
 
-    # subtree leaf counts, children-before-parents (nodes are allocated
-    # parent-first by _binary_sah_build, so a reverse sweep suffices)
     nnode = len(left)
-    leafcount = np.ones(nnode, np.int64)
-    for v in range(nnode - 1, -1, -1):
-        if left[v] >= 0:
-            leafcount[v] = leafcount[left[v]] + leafcount[right[v]]
+    use_dp = os.environ.get('CHROMA_BVH_COLLAPSE', 'dp') != 'greedy'
+    if use_dp:
+        forcost, jch = _collapse_tables(left, right, areas, fanout)
+    else:
+        # greedy fallback (round-4 builder): expand the internal child
+        # with the largest subtree leaf count (area tiebreak)
+        leafcount = np.ones(nnode, np.int64)
+        for v in range(nnode - 1, -1, -1):
+            if left[v] >= 0:
+                leafcount[v] = leafcount[left[v]] + leafcount[right[v]]
+
+    def _forest(u, i):
+        "Optimal forest of <= i roots for subtree u (DP reconstruction)."
+        j = int(jch[u, i]) if left[u] >= 0 else 0
+        if j == 0:
+            return [u]
+        return _forest(int(left[u]), j) + _forest(int(right[u]), i - j)
+
+    def _cut(bid):
+        "Children of the wide node rooted at binary node bid."
+        if use_dp:
+            fl = forcost[left[bid]]
+            fr = forcost[right[bid]]
+            cand = fl[1:fanout] + fr[fanout - 1:0:-1]
+            bj = 1 + int(np.argmin(cand))
+            return (_forest(int(left[bid]), bj)
+                    + _forest(int(right[bid]), fanout - bj))
+        ch = [int(left[bid]), int(right[bid])]
+        while len(ch) < fanout:
+            bi, bk = -1, (1, -1.0)
+            for j, c in enumerate(ch):
+                k = (int(leafcount[c]), float(areas[c]))
+                if left[c] >= 0 and k > bk:
+                    bk, bi = k, j
+            if bi < 0:
+                break
+            c = ch.pop(bi)
+            ch.extend((int(left[c]), int(right[c])))
+        return ch
 
     rows = []
     leaf_row_index = {}
@@ -570,28 +648,14 @@ def _emit_wide_rows(bn, fanout, width, make_leaf_row, packed=False,
         leaf_row_index[root] = r
         return np.stack(rows), leaf_row_index, 0
 
+    import sys
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, 10000))
     queue = [(root, alloc_row(), 0)]  # (binary node, row index, depth)
     while queue:
         bid, rid, depth = queue.pop()
         max_push_depth = max(max_push_depth, depth)
-        # collapse: expand the internal child with the LARGEST SUBTREE
-        # (leaf count; area tiebreak) until the node is full. Expanding
-        # by area alone (round <=3) strips the big boxes and leaves the
-        # many small binary subtrees as 2-child wide nodes — measured on
-        # the 29k-instance headline TLAS: mean 5.0 of 32 child slots
-        # occupied (5663 of 7395 nodes held just 2), costing 7.0
-        # TLAS-internal visits/ray where a leaf-balanced cut needs ~3.
-        ch = [int(left[bid]), int(right[bid])]
-        while len(ch) < fanout:
-            bi, bk = -1, (1, -1.0)
-            for j, c in enumerate(ch):
-                k = (int(leafcount[c]), float(areas[c]))
-                if left[c] >= 0 and k > bk:
-                    bk, bi = k, j
-            if bi < 0:
-                break
-            c = ch.pop(bi)
-            ch.extend((int(left[c]), int(right[c])))
+        ch = _cut(bid)
 
         row = np.zeros(width, np.float32)
         clo = np.full((fanout, 3), np.nan, np.float32)
@@ -622,6 +686,7 @@ def _emit_wide_rows(bn, fanout, width, make_leaf_row, packed=False,
         row[width - 1] = np.int32(TAG_INTERNAL).view(np.float32)
         rows[rid] = row
 
+    sys.setrecursionlimit(old_limit)
     return np.stack(rows), leaf_row_index, max_push_depth
 
 

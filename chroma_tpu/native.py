@@ -62,6 +62,11 @@ def _load():
     lib.chroma_group_bounds.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, i64, ctypes.c_void_p, i64,
         ctypes.c_void_p, ctypes.c_void_p]
+    if hasattr(lib, 'chroma_collapse_dp'):
+        lib.chroma_collapse_dp.restype = None
+        lib.chroma_collapse_dp.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, i64, i64,
+            ctypes.c_void_p, ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -123,3 +128,22 @@ def group_bounds(child_lo, child_hi, first):
                             f.ctypes.data, len(f), g_lo.ctypes.data,
                             g_hi.ctypes.data)
     return g_lo, g_hi
+
+
+def collapse_dp(left, right, area, fanout):
+    """Optimal BVH2->wide collapse DP tables (see csrc/geometry_kit.cpp
+    chroma_collapse_dp). Returns (forcost (n,F+1) f64, jch (n,F+1) u8)
+    or None when the native kit is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, 'chroma_collapse_dp'):
+        return None
+    ln = np.ascontiguousarray(left, dtype=np.int64)
+    rn = np.ascontiguousarray(right, dtype=np.int64)
+    ar = np.ascontiguousarray(area, dtype=np.float64)
+    n = len(ln)
+    forcost = np.empty((n, fanout + 1), dtype=np.float64)
+    jch = np.empty((n, fanout + 1), dtype=np.uint8)
+    lib.chroma_collapse_dp(ln.ctypes.data, rn.ctypes.data, ar.ctypes.data,
+                           n, fanout, forcost.ctypes.data,
+                           jch.ctypes.data)
+    return forcost, jch

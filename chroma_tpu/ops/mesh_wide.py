@@ -56,23 +56,27 @@ def _stage_min():
 # CHROMA_TRAV_UNROLL forces a fixed value.
 TRAV_UNROLL = os.environ.get('CHROMA_TRAV_UNROLL', 'auto')
 
-# Independent interleaved traversal chains per loop (instanced path).
-# The per-visit row gather is LATENCY-bound (measured v5e: ~12.5 ms for
-# 1M random rows at ANY width 16..128 f32 — width-independent), and the
-# XLA:TPU scheduler overlaps the gather's DMA work with the Pallas visit
-# kernel when the two belong to INDEPENDENT chains: two interleaved
-# gather+kernel chains measured 8.1 ms/iteration where 2x one chain is
-# 25.1 ms (ratio 0.32). Splitting the batch into CHAINS lane groups that
-# step in lockstep inside ONE while_loop keeps every chain's gather in
-# flight under the other chains' kernels. Results are bitwise identical
-# to the single-chain loop (each lane's walk is independent; only the
-# grouping changes).
+# Independent interleaved traversal chains per loop (instanced path) —
+# MEASURED DEAD END, default 1 (off); kept env-gated with bitwise
+# equivalence tests. The hypothesis: a per-visit row gather with RANDOM
+# indices is latency-bound (~12.5 ms for 1M rows at ANY width 16..128
+# f32 on v5e), and on a toy gather+kernel chain two independent
+# interleaved chains ran at 0.27-0.32x the serial cost of two — XLA
+# hides one chain's DMA stalls under the other's work, inside
+# while_loops too. On the REAL traversal it does NOTHING: headline
+# full-traversal 164/165/164 ms at chains=1/2/4, with or without kernel
+# buffer aliasing, Pallas kernel or jnp body. The real gather's indices
+# are COHERENT (lanes start together and diverge gradually; dead lanes
+# clamp to row 0), measured ~2.7 ns/row at 1M lanes — already fully
+# pipelined, no stalls for a second chain to fill. Worse, chains=2 cost
+# the fused bomb 3.7x at headline scale (345k vs 1.29M photons/s) from
+# doubled per-op overheads across the many small compaction buckets.
 def _chains_for(n):
     "Chain count for an n-lane traversal (env read per trace: testable)."
     try:
-        c = int(os.environ.get('CHROMA_TRAV_CHAINS', '2'))
+        c = int(os.environ.get('CHROMA_TRAV_CHAINS', '1'))
     except ValueError:
-        c = 2
+        c = 1
     if c <= 1:
         return 1
     if n % (c * 256) or n // c < 1024:

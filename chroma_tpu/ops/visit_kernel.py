@@ -426,8 +426,12 @@ def visit_inst(rows, cur, depth, btri, d_inst, tbase, iid, bases, masks,
         # updates the buffers in place instead of allocating + copying
         # ~20 fresh (N,)-row outputs per visit (inputs 1..20 line up
         # with outputs 0..19; input 0 is the gathered rows, 21/22 the
-        # constant ray registers / last-hit exclusion)
-        input_output_aliases={i: i - 1 for i in range(1, 21)},
+        # constant ray registers / last-hit exclusion).
+        # CHROMA_PALLAS_ALIAS=0 disables (scheduling experiments).
+        input_output_aliases=(
+            {i: i - 1 for i in range(1, 21)}
+            if os.environ.get('CHROMA_PALLAS_ALIAS', '1') != '0'
+            else {}),
         interpret=interpret,
     )(rows, cur, depth, btri, d_inst, tbase, iid, bases, masks, bd,
       *hctx, *loc, rays, last)

@@ -137,4 +137,52 @@ void chroma_group_bounds(const float *child_lo, const float *child_hi,
     }
 }
 
+// Optimal BVH2 -> wide-fanout collapse DP (Ylitie-style): minimize the
+// sum of wide-node areas (= the expected-internal-visit proxy: a node
+// is visited with probability proportional to its box area). For every
+// binary node v and forest size i in 1..F:
+//   FORcost[v][i] = min cost of representing v's subtree as a forest of
+//                   <= i roots (roots become children of an ancestor
+//                   wide node); leaves cost 0 (leaf-row visits are
+//                   collapse-invariant).
+//   jch[v][i]     = 0 -> keep v whole (one root);
+//                   j -> split into forests of (j, i-j) over (l, r).
+// Requires children allocated AFTER their parent (true of the builder's
+// parent-first allocation), so one reverse sweep is child-first.
+void chroma_collapse_dp(const int64_t *left, const int64_t *right,
+                        const double *area, int64_t n, int64_t F,
+                        double *forcost, uint8_t *jch) {
+    const int64_t S = F + 1;
+    std::vector<double> conv(S);
+    std::vector<uint8_t> js(S);
+    for (int64_t v = n - 1; v >= 0; --v) {
+        double *fv = forcost + v * S;
+        uint8_t *jv = jch + v * S;
+        if (left[v] < 0) {
+            for (int64_t i = 0; i <= F; ++i) { fv[i] = 0.0; jv[i] = 0; }
+            continue;
+        }
+        const double *fl = forcost + left[v] * S;
+        const double *fr = forcost + right[v] * S;
+        for (int64_t i = 2; i <= F; ++i) {
+            double best = 1e300;
+            uint8_t bj = 1;
+            for (int64_t j = 1; j < i; ++j) {
+                double c = fl[j] + fr[i - j];
+                if (c < best) { best = c; bj = (uint8_t)j; }
+            }
+            conv[i] = best;
+            js[i] = bj;
+        }
+        const double Cv = area[v] + (F >= 2 ? conv[F] : 1e300);
+        fv[0] = 1e300;
+        fv[1] = Cv;
+        jv[1] = 0;
+        for (int64_t i = 2; i <= F; ++i) {
+            if (conv[i] < Cv) { fv[i] = conv[i]; jv[i] = js[i]; }
+            else { fv[i] = Cv; jv[i] = 0; }
+        }
+    }
+}
+
 }  // extern "C"

@@ -670,11 +670,43 @@ _PSTAGE_CACHE = {}
 # per-(geometry, batch) raw probe survival curves (diagnostics)
 _PROBE_COUNTS = {}
 
+# smallest batch worth a staging pilot (tests shrink this)
+_PILOT_MIN = 1 << 17
+
 
 def perf_key(geometry):
     "Content-fingerprint cache key of a geometry (see chroma_tpu.perfcache)."
     from chroma_tpu import perfcache
     return perfcache.key_of(geometry)
+
+
+def _dist_summary(v, keep=512):
+    """JSON-ready summary of a visit distribution: a sorted quantile
+    subsample (plus the exact max). _best_stage_spec only consumes
+    mean(v > b) and max(v), both of which a 512-point sorted sample
+    preserves to ~0.2% — far inside STAGE_MARGIN."""
+    v = np.sort(np.asarray(v))
+    if len(v) > keep:
+        idx = np.linspace(0, len(v) - 1, keep).round().astype(np.int64)
+        v = v[idx]
+    return [int(x) for x in v]
+
+
+def _dists_lookup(pk):
+    """Pilot visit distributions for a geometry fingerprint: session
+    cache first, then the persisted perf entry (the pilot is a real
+    hardware run — losing its result to a process death must not
+    poison later schedule tuning, VERDICT r5 regression)."""
+    from chroma_tpu import perfcache
+    if pk in _DIST_CACHE:
+        return _DIST_CACHE[pk]
+    if perfcache.persistent(pk):
+        ent = perfcache.load(pk).get('dists')
+        if ent:
+            dists = {int(d): np.asarray(v) for d, v in ent.items()}
+            _DIST_CACHE[pk] = dists
+            return dists
+    return None
 
 
 def _tune_stages(photons, geometry, key, use_weights, scatter_first,
@@ -723,7 +755,11 @@ def _tune_stages(photons, geometry, key, use_weights, scatter_first,
         _, perm = _ps_compact_perm(cur.alive)
         cur = _ps_take(cur, perm)
         dists[depth] = _visit_sample(cur, geometry, k, n_alive)
-    _DIST_CACHE[perf_key(geometry)] = dists
+    pk = perf_key(geometry)
+    _DIST_CACHE[pk] = dists
+    from chroma_tpu import perfcache
+    perfcache.update(pk, {'dists': {str(d): _dist_summary(v)
+                                    for d, v in dists.items()}})
 
     div, margin = 16, 4.0
     # flat spec: satisfy the shallow populations (the probe bomb's
@@ -913,7 +949,9 @@ def _sched_lookup(geometry, n, max_steps):
             sched = perfcache.as_tuples(sched)
             _SCHED_CACHE[ck] = sched
             pstages = data.get('pstages:' + suffix)
-            if pstages is not None:
+            # [] is the tuned-but-empty terminal sentinel: fall back to
+            # the flat spec at use time, but never re-probe for it
+            if pstages:
                 _PSTAGE_CACHE[ck] = perfcache.as_tuples(pstages)
             return sched, _PSTAGE_CACHE.get(ck)
     return None, None
@@ -963,6 +1001,11 @@ def propagate(photons, geometry, key, max_steps=100, use_weights=False,
         from chroma_tpu import perfcache
         pk = perf_key(geometry)
         ck = (pk, n, int(max_steps))
+        from chroma_tpu.bvh.wide import InstancedBVH
+        pilot_ok = (os.environ.get('CHROMA_TRAV_STAGE_PILOT', '1') != '0'
+                    and n >= _PILOT_MIN
+                    and isinstance(getattr(geometry, 'wide', None),
+                                   InstancedBVH))
         stages = stages_for(geometry)
         if stages is None:
             # the visit-distribution pilot tunes CARRIED-STATE staging
@@ -970,11 +1013,7 @@ def propagate(photons, geometry, key, max_steps=100, use_weights=False,
             # at headline scale: tuned (48,16) staging 821k photons/s vs
             # 354k unstaged — the lockstep loop otherwise pays the max
             # visit count (205) while p99 is ~50.
-            from chroma_tpu.bvh.wide import InstancedBVH
-            if (os.environ.get('CHROMA_TRAV_STAGE_PILOT', '1') != '0'
-                    and n >= (1 << 17)
-                    and isinstance(getattr(geometry, 'wide', None),
-                                   InstancedBVH)):
+            if pilot_ok:
                 with profiler.region('propagate.stage_pilot'):
                     stages = _tune_stages(photons, geometry, key,
                                           bool(use_weights),
@@ -989,6 +1028,19 @@ def propagate(photons, geometry, key, max_steps=100, use_weights=False,
             sched = _trim_schedule(_parse_schedule(env), n)
         else:
             sched, pstages = _sched_lookup(geometry, n, max_steps)
+            if (sched is not None and pstages is None and pilot_ok
+                    and os.environ.get('CHROMA_TRAV_STAGES') is None
+                    and perfcache.persistent(pk)
+                    and perfcache.load(pk).get(
+                        'pstages:%d:%d' % (n, int(max_steps))) is None):
+                # PARTIAL entry: a schedule whose per-stage specs were
+                # never tuned (persisted null — an earlier process died
+                # between the pilot and the probe) runs degraded at
+                # ~3.4x cost at headline scale (measured: 378k vs 1.29M
+                # photons/s). Re-probe this bomb and retune both. A
+                # tuned-but-empty result persists as [] (terminal), so
+                # this fires at most once per entry.
+                sched = None
         if sched is not None:
             # per-fused-stage traversal specs when tuned (each bucket's
             # population has a different visit tail); flat spec (env or
@@ -1032,15 +1084,30 @@ def propagate(photons, geometry, key, max_steps=100, use_weights=False,
             bsteps = list(range(1, len(counts) + 1))
             _SCHED_CACHE[ck] = _tune_schedule(
                 n, bsteps, counts, int(max_steps))
-            dists = _DIST_CACHE.get(pk)
+            dists = _dists_lookup(pk)
+            if dists is None and pilot_ok:
+                # flat_stage was persisted but the distributions were
+                # not (pre-fix entry): re-run the pilot purely for its
+                # measured distributions so pstages can be tuned
+                with profiler.region('propagate.stage_pilot'):
+                    _tune_stages(photons, geometry, key,
+                                 bool(use_weights), int(scatter_first),
+                                 prune)
+                dists = _DIST_CACHE.get(pk)
+            ps = None
             if dists and _SCHED_CACHE[ck]:
-                _PSTAGE_CACHE[ck] = _tune_stage_specs(
+                ps = _tune_stage_specs(
                     n, _SCHED_CACHE[ck], int(max_steps), dists, stages,
                     alive_counts=counts)
+            if ps is not None:
+                _PSTAGE_CACHE[ck] = ps
             suffix = '%d:%d' % (n, int(max_steps))
             perfcache.update(pk, {
                 'sched:' + suffix: _SCHED_CACHE[ck],
-                'pstages:' + suffix: _PSTAGE_CACHE.get(ck),
+                # [] = tuned, nothing to stage (terminal); null would
+                # mean never-tuned and re-trigger the healing re-probe
+                'pstages:' + suffix: [] if ps is None else ps,
+                'counts:' + suffix: [int(c) for c in counts],
             })
             if bool(abort):
                 from chroma_tpu.log import logger

@@ -87,6 +87,82 @@ def test_schedule_round_trips_through_disk(tmp_path, monkeypatch):
         perfcache._DISK.clear()
 
 
+def test_partial_perf_entry_heals(tmp_path, monkeypatch):
+    """A persisted schedule WITHOUT per-stage traversal specs (a process
+    died between the stage pilot and the schedule probe) must trigger a
+    re-probe + full retune on the next bomb — running degraded forever
+    cost 3.4x at headline scale (round-5 regression: 1.29M -> 378k
+    photons/s with a poisoned 'pstages: null' entry)."""
+    import jax
+    import jax.numpy as jnp
+    from chroma_tpu.bvh.wide import InstancedBVH
+    from chroma_tpu.ops.photon import PhotonState
+    from chroma_tpu.ops.sample import make_key
+
+    monkeypatch.setenv('CHROMA_CACHE_DIR', str(tmp_path))
+    monkeypatch.setattr(P, '_PILOT_MIN', 1024)
+    geo = _geometry()
+    ga = build_geometry_arrays(geo)
+    assert isinstance(ga.wide, InstancedBVH)  # pilot precondition
+    pk = P.perf_key(ga)
+    n, steps = 2048, 12
+    suffix = '%d:%d' % (n, steps)
+
+    # the poisoned shape: schedule present, specs and distributions lost
+    perfcache.update(pk, {'sched:' + suffix: ((2, 1024), (4, 512)),
+                          'pstages:' + suffix: None,
+                          'flat_stage': []})
+    # fresh process
+    perfcache._DISK.clear()
+    P._SCHED_CACHE.clear()
+    P._PSTAGE_CACHE.clear()
+    P._STAGE_CACHE.clear()
+    P._DIST_CACHE.clear()
+    try:
+        d = jax.random.normal(jax.random.key(0), (n, 3))
+        d = (d / jnp.linalg.norm(d, axis=1, keepdims=True)).astype(
+            jnp.float32)
+        ps = PhotonState(
+            pos=jnp.zeros((n, 3), jnp.float32), dir=d, pol=d,
+            wavelength=jnp.full(n, 400.0, jnp.float32),
+            t=jnp.zeros(n, jnp.float32),
+            weight=jnp.ones(n, jnp.float32),
+            flags=jnp.zeros(n, jnp.uint32),
+            last_hit_triangle=jnp.full(n, -1, jnp.int32),
+            evidx=jnp.zeros(n, jnp.uint32),
+            cur_mat=jnp.full(n, -1, jnp.int32))
+        P.propagate(ps, ga, make_key(3), max_steps=steps)
+        perfcache._DISK.clear()           # read back what hit the disk
+        ent = perfcache.load(pk)
+        # [] = tuned-but-empty terminal sentinel; null = still poisoned
+        assert ent.get('pstages:' + suffix) is not None
+        assert ent.get('dists'), 'pilot distributions must persist'
+        assert 'counts:' + suffix in ent, 'survival curve must persist'
+        # healed entry is terminal: a second fresh process goes straight
+        # to the fused path — no second probe
+        P._SCHED_CACHE.clear()
+        P._PSTAGE_CACHE.clear()
+        P._STAGE_CACHE.clear()
+        P._DIST_CACHE.clear()
+        probes = []
+        real = P._fused_bomb
+
+        def spy(*a, **kw):
+            if kw.get('report'):
+                probes.append(1)
+            return real(*a, **kw)
+
+        monkeypatch.setattr(P, '_fused_bomb', spy)
+        P.propagate(ps, ga, make_key(4), max_steps=steps)
+        assert not probes, 'terminal sentinel must not re-probe'
+    finally:
+        P._SCHED_CACHE.clear()
+        P._PSTAGE_CACHE.clear()
+        P._STAGE_CACHE.clear()
+        P._DIST_CACHE.clear()
+        perfcache._DISK.clear()
+
+
 def test_geocache_load_registers_same_fingerprint(tmp_path):
     "A geometry loaded from the geocache keys the same perf entries."
     from chroma_tpu.io.geocache import (save_geometry_arrays,

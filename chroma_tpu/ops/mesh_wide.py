@@ -885,8 +885,32 @@ def _staged_inst(inst, rays, state, stages):
     # cost nothing where they don't pay
     state = jax.lax.cond(_any_active(state), boundary, lambda s: s, state)
 
-    # overflow lanes (survivors beyond the slice — rare by construction)
-    # finish at full width; free when absent (immediate exit)
+    # overflow lanes (survivors beyond the slice — rare by construction):
+    # running them at FULL width was the catastrophic path that forced
+    # STAGE_MARGIN=2 on the spec picker (a too-tight spec measured
+    # 4-20x slower). Instead, when any lane overflows, front-pack the
+    # overflow into the same m-lane slice and finish there (the
+    # lax.cond makes this free when absent); the final full-width loop
+    # only serves > m simultaneous overflow lanes (~never).
+    def overflow(state):
+        cur = state[0]
+        _, perm = _compact_perm(cur >= 0)
+        sel = perm[:m]
+        moved = _take_lanes((origin, direction, last_hit, state), sel, n)
+        o_s, d_s, last_s, state_s = moved
+        inv_s = safe_inv(d_s)
+        rays_s = (o_s, d_s, inv_s, -o_s * inv_s, jnp.isfinite(inv_s),
+                  last_s)
+        state_s = _run_chained(inst, rays_s, state_s)
+        best_tri = state[4].at[sel].set(state_s[4])
+        best_d = state[5].at[sel].set(state_s[5])
+        hctx_m = tuple(h.at[sel].set(hs)
+                       for h, hs in zip(state[10], state_s[10]))
+        cur = cur.at[sel].set(-1)
+        return (cur, state[1], state[2], state[3], best_tri, best_d,
+                state[6], state[7], state[8], state[9], hctx_m)
+
+    state = jax.lax.cond(_any_active(state), overflow, lambda s: s, state)
     return _run_chained(inst, rays, state)
 
 

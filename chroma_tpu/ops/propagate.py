@@ -430,7 +430,12 @@ def _tune_schedule(n, boundary_steps, alive_counts, max_steps):
     Emitted entries carry ABSOLUTE widths (see _resolve_width)."""
     if not len(alive_counts):
         return ()
-    margin = float(os.environ.get('CHROMA_SCHED_MARGIN', '1.3'))
+    # 1.3 before round 5: the margin guarded the then-catastrophic
+    # full-suffix overflow loop (one 8k-lane overflow at a 131k suffix
+    # measured ~2.3 s). With overflow lanes now front-packed into a
+    # small mop bucket (see _fused_bomb_impl), the margin only needs to
+    # cover run-to-run survival jitter (< 12.5%, the count quantization)
+    margin = float(os.environ.get('CHROMA_SCHED_MARGIN', '1.15'))
     # quantize the measured counts to a 3-bit mantissa (round UP): raw
     # counts jitter a few % run to run, and any change in the derived
     # schedule is a fresh trace that misses the persistent jit cache
@@ -602,12 +607,42 @@ def _fused_bomb_impl(photons, geometry, key, schedule, max_steps,
         suffix = jax.tree_util.tree_map(lambda a: a[m:], php)
         prefix = stage(prefix, start2, sched[1:], salt)
         # overflow lanes (survivors beyond the slice — rare by
-        # construction) finish on their own salted stream; the bounded
-        # loop exits immediately when the suffix is all dead
-        suffix, _, _ = _steps_loop(
-            suffix, geometry, jax.random.fold_in(skey, 0x5F3759DF),
-            start2, max_steps - start2, use_weights, scatter_first, prune,
-            spec_at(k + 1))
+        # construction) finish on their own salted stream. Running them
+        # at the full (n - m) suffix width was the one catastrophic
+        # path in the driver (measured: one 8k-lane overflow at a 131k
+        # suffix cost ~2.3 s of a 1.25 s bomb), which forced wide
+        # safety margins on the schedule tuner. Instead: when any
+        # suffix lane is alive (the lax.cond skips everything when not
+        # — the common case costs one reduction), front-pack the
+        # overflow into a small m2 bucket and finish THERE; the final
+        # full-suffix loop only runs lanes beyond m2 (~never) and
+        # exits immediately otherwise.
+        okey = jax.random.fold_in(skey, 0x5F3759DF)
+        m2 = max(min(m // 4, 1 << 16), MIN_BATCH)
+        if len(php.t) - m > m2 * 2:
+            def mop(sfx):
+                sdest, sperm = _ps_compact_perm(sfx.alive)
+                sp = _ps_take(sfx, sperm)
+                pre = jax.tree_util.tree_map(lambda a: a[:m2], sp)
+                post = jax.tree_util.tree_map(lambda a: a[m2:], sp)
+                pre, _, _ = _steps_loop(
+                    pre, geometry, okey, start2, max_steps - start2,
+                    use_weights, scatter_first, prune, spec_at(k + 1))
+                post, _, _ = _steps_loop(
+                    post, geometry, jax.random.fold_in(okey, 1), start2,
+                    max_steps - start2, use_weights, scatter_first,
+                    prune, spec_at(k + 1))
+                sp = jax.tree_util.tree_map(
+                    lambda a, b: jnp.concatenate([a, b], axis=0),
+                    pre, post)
+                return _ps_take(sp, sdest)
+
+            suffix = jax.lax.cond(jnp.any(suffix.alive), mop,
+                                  lambda s: s, suffix)
+        else:
+            suffix, _, _ = _steps_loop(
+                suffix, geometry, okey, start2, max_steps - start2,
+                use_weights, scatter_first, prune, spec_at(k + 1))
         php = jax.tree_util.tree_map(
             lambda a, b: jnp.concatenate([a, b], axis=0), prefix, suffix)
         return _ps_take(php, dest)
@@ -807,7 +842,11 @@ BOUND_MS_PER_LANE = float(os.environ.get('CHROMA_BOUND_MS_PER_LANE',
                                          '25e-6'))
 BOUND_MS_PER_SLICE = float(os.environ.get('CHROMA_BOUND_MS_PER_SLICE',
                                           '30e-6'))
-STAGE_MARGIN = float(os.environ.get('CHROMA_STAGE_MARGIN', '2.0'))
+# 2.0 before round 5, when overflow past a stage boundary ran to
+# completion at FULL width (4-20x cost for a one-notch-too-tight spec);
+# the overflow path now front-packs into the slice (mesh_wide
+# _staged_inst), so the margin covers population drift only
+STAGE_MARGIN = float(os.environ.get('CHROMA_STAGE_MARGIN', '1.35'))
 
 
 def _visit_ms(w):

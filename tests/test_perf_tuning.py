@@ -197,3 +197,71 @@ def test_geocache_sidecar_stats(tmp_path):
     ga2 = load_geometry_arrays(path)
     assert ga2 is not None
     assert np.asarray(ga2.wide.rows).shape == np.asarray(ga.wide.rows).shape
+
+
+def test_fused_bomb_suffix_mop(monkeypatch):
+    """The fused bomb's overflow path: a schedule that compacts to 1/8
+    after one step while most photons are still alive GUARANTEES
+    overflow into the suffix mop (round 5: overflow lanes front-pack
+    into a small bucket instead of running the full suffix width to
+    max_steps). Every lane must come back terminated and accounted for
+    — a lane lost or duplicated by the pack/merge shows up in the flag
+    totals."""
+    from chroma_tpu import event
+    from chroma_tpu.geometry import Geometry, Solid, Surface, vacuum
+    from chroma_tpu.demo.optics import water
+    from chroma_tpu.loader import create_geometry_from_obj
+    from chroma_tpu.make import box
+    from chroma_tpu.ops.types import build_geometry_arrays
+    from chroma_tpu.ops.propagate import propagate
+    from chroma_tpu.ops.sample import make_key
+    import jax.numpy as jnp
+    from chroma_tpu.ops.photon import PhotonState
+
+    gray = Surface('gray')
+    gray.set('absorb', 0.35)
+    gray.set('reflect_diffuse', 0.65)
+    geo = Geometry(vacuum)
+    geo.add_solid(Solid(box(1000.0, 1000.0, 1000.0), water, vacuum,
+                        surface=gray))
+    geo.flatten()
+    ga = build_geometry_arrays(create_geometry_from_obj(
+        geo, auto_build_bvh=False, update_bvh_cache=False))
+
+    n = 4096
+    rng = np.random.default_rng(11)
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ps = PhotonState(
+        pos=jnp.zeros((n, 3), jnp.float32),
+        dir=jnp.asarray(d, jnp.float32),
+        pol=jnp.asarray(np.cross(d, [0.0, 0.0, 1.0]), jnp.float32),
+        wavelength=jnp.full(n, 450.0, jnp.float32),
+        t=jnp.zeros(n, jnp.float32),
+        weight=jnp.ones(n, jnp.float32),
+        flags=jnp.zeros(n, jnp.uint32),
+        last_hit_triangle=jnp.full(n, -1, jnp.int32),
+        evidx=jnp.zeros(n, jnp.uint32),
+        cur_mat=jnp.full(n, -1, jnp.int32),
+    )
+
+    # diffuse walls keep ~65% of photons alive past step 1, so the 1/8
+    # bucket catches at most a fraction: most survivors take the mop
+    monkeypatch.setenv('CHROMA_FUSED_SCHEDULE', '1:8,8:2')
+    monkeypatch.setenv('CHROMA_TRAV_STAGE_PILOT', '0')
+    res = propagate(ps, ga, make_key(5), max_steps=64)
+    fl = np.asarray(res.flags)
+    term = (event.SURFACE_DETECT | event.BULK_ABSORB
+            | event.SURFACE_ABSORB | event.NO_HIT | event.NAN_ABORT)
+    assert ((fl & event.NAN_ABORT) == 0).all()
+    assert ((fl & term) != 0).all(), 'unterminated lanes after mop'
+    absorbed = int(((fl & event.SURFACE_ABSORB) > 0).sum())
+    assert absorbed > 0.5 * n  # gray walls absorb most photons
+
+    # cross-check against the unstaged fused program (no compaction):
+    # same physics, Poisson-level agreement on the absorb count
+    monkeypatch.setenv('CHROMA_FUSED_SCHEDULE', 'none')
+    res2 = propagate(ps, ga, make_key(5), max_steps=64)
+    fl2 = np.asarray(res2.flags)
+    a2 = int(((fl2 & event.SURFACE_ABSORB) > 0).sum())
+    assert abs(absorbed - a2) <= 6 * np.sqrt(max(a2, 1)) + 10

@@ -426,13 +426,29 @@ def fmt_of(wide):
     return 'bf16' if getattr(wide, 'packed', False) else 'f32'
 
 
-def _binary_sah_build(lo, hi, max_leaf, nbins=16):
+def _area_rows(alo, ahi):
+    d = np.maximum(ahi - alo, 0.0)
+    return d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0]
+
+
+def _binary_sah_build(lo, hi, max_leaf, nbins=16, sweep=None):
     """Binned-SAH binary BVH over primitive AABBs (host, numpy).
+
+    sweep: exhaustive split search — every object-split position on
+    every axis is costed exactly (O(n log n) per node vs 16 bins).
+    Defaults to ON below 300k primitives (TLAS instance tables and the
+    shared PMT BLAS are far below this; one-time, cached build cost for
+    a few % fewer traversal visits everywhere). The reference's analog
+    is its iterative surface-area-minimizing optimize_layer pass
+    (reference: chroma/gpu/bvh.py:269-369).
 
     Returns dict(left, right, start, count, lo, hi, perm): children node ids
     (-1 marks a leaf), leaf prim ranges into the permutation, node bounds.
     """
     P = len(lo)
+    if sweep is None:
+        sweep = P <= 300000 and \
+            os.environ.get('CHROMA_BVH_SWEEP_SAH', '1') != '0'
     cent = (lo + hi) * 0.5
     perm = np.arange(P, dtype=np.int64)
     L, R, S, C, NLo, NHi = [], [], [], [], [], []
@@ -462,53 +478,77 @@ def _binary_sah_build(lo, hi, max_leaf, nbins=16):
 
         c = cent[idx]
         best_cost, best = np.inf, None
-        for ax in range(3):
-            cmin = c[:, ax].min()
-            cmax = c[:, ax].max()
-            if cmax <= cmin:
-                continue
-            scale = nbins * (1.0 - 1e-7) / (cmax - cmin)
-            b = ((c[:, ax] - cmin) * scale).astype(np.int64)
-            counts = np.bincount(b, minlength=nbins)
-            o = np.argsort(b, kind='stable')
-            occupied = counts > 0
-            starts = np.searchsorted(b[o], np.flatnonzero(occupied))
-            binlo = np.full((nbins, 3), np.inf, np.float32)
-            binhi = np.full((nbins, 3), -np.inf, np.float32)
-            binlo[occupied] = np.minimum.reduceat(plo[o], starts, axis=0)
-            binhi[occupied] = np.maximum.reduceat(phi[o], starts, axis=0)
 
-            l_lo = np.minimum.accumulate(binlo, axis=0)
-            l_hi = np.maximum.accumulate(binhi, axis=0)
-            r_lo = np.minimum.accumulate(binlo[::-1], axis=0)[::-1]
-            r_hi = np.maximum.accumulate(binhi[::-1], axis=0)[::-1]
-            nl = np.cumsum(counts)
-            nr = n - nl
-
-            def _area(alo, ahi):
-                d = np.maximum(ahi - alo, 0.0)
-                return d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] \
-                    + d[:, 2] * d[:, 0]
-
-            cost = (nl[:-1] * _area(l_lo[:-1], l_hi[:-1])
-                    + nr[:-1] * _area(r_lo[1:], r_hi[1:]))
-            cost = np.where((nl[:-1] == 0) | (nr[:-1] == 0), np.inf, cost)
-            i = int(np.argmin(cost))
-            if cost[i] < best_cost:
-                best_cost = float(cost[i])
-                best = (ax, cmin, scale, i)
-
-        if best is None:
-            mid = s + n // 2  # identical centroids: arbitrary halves
-        else:
-            ax, cmin, scale, i = best
-            b = ((c[:, ax] - cmin) * scale).astype(np.int64)
-            left_mask = b <= i
-            o = np.argsort(~left_mask, kind='stable')
-            perm[s:e] = idx[o]
-            mid = s + int(left_mask.sum())
-            if mid == s or mid == e:
+        if sweep:
+            # exhaustive object-split sweep: sort by centroid per axis,
+            # exact prefix/suffix bounds, cost at every split position
+            for ax in range(3):
+                o = np.argsort(c[:, ax], kind='stable')
+                slo = plo[o]
+                shi = phi[o]
+                l_lo = np.minimum.accumulate(slo, axis=0)
+                l_hi = np.maximum.accumulate(shi, axis=0)
+                r_lo = np.minimum.accumulate(slo[::-1], axis=0)[::-1]
+                r_hi = np.maximum.accumulate(shi[::-1], axis=0)[::-1]
+                nl = np.arange(1, n)
+                cost = (nl * _area_rows(l_lo[:-1], l_hi[:-1])
+                        + (n - nl) * _area_rows(r_lo[1:], r_hi[1:]))
+                i = int(np.argmin(cost))
+                if cost[i] < best_cost:
+                    best_cost = float(cost[i])
+                    best = (ax, o, i + 1)
+            if best is not None:
+                ax, o, mid_local = best
+                perm[s:e] = idx[o]
+                mid = s + mid_local
+            else:
                 mid = s + n // 2
+        else:
+            for ax in range(3):
+                cmin = c[:, ax].min()
+                cmax = c[:, ax].max()
+                if cmax <= cmin:
+                    continue
+                scale = nbins * (1.0 - 1e-7) / (cmax - cmin)
+                b = ((c[:, ax] - cmin) * scale).astype(np.int64)
+                counts = np.bincount(b, minlength=nbins)
+                o = np.argsort(b, kind='stable')
+                occupied = counts > 0
+                starts = np.searchsorted(b[o], np.flatnonzero(occupied))
+                binlo = np.full((nbins, 3), np.inf, np.float32)
+                binhi = np.full((nbins, 3), -np.inf, np.float32)
+                binlo[occupied] = np.minimum.reduceat(plo[o], starts,
+                                                      axis=0)
+                binhi[occupied] = np.maximum.reduceat(phi[o], starts,
+                                                      axis=0)
+
+                l_lo = np.minimum.accumulate(binlo, axis=0)
+                l_hi = np.maximum.accumulate(binhi, axis=0)
+                r_lo = np.minimum.accumulate(binlo[::-1], axis=0)[::-1]
+                r_hi = np.maximum.accumulate(binhi[::-1], axis=0)[::-1]
+                nl = np.cumsum(counts)
+                nr = n - nl
+
+                cost = (nl[:-1] * _area_rows(l_lo[:-1], l_hi[:-1])
+                        + nr[:-1] * _area_rows(r_lo[1:], r_hi[1:]))
+                cost = np.where((nl[:-1] == 0) | (nr[:-1] == 0),
+                                np.inf, cost)
+                i = int(np.argmin(cost))
+                if cost[i] < best_cost:
+                    best_cost = float(cost[i])
+                    best = (ax, cmin, scale, i)
+
+            if best is None:
+                mid = s + n // 2  # identical centroids: arbitrary halves
+            else:
+                ax, cmin, scale, i = best
+                b = ((c[:, ax] - cmin) * scale).astype(np.int64)
+                left_mask = b <= i
+                o = np.argsort(~left_mask, kind='stable')
+                perm[s:e] = idx[o]
+                mid = s + int(left_mask.sum())
+                if mid == s or mid == e:
+                    mid = s + n // 2
 
         lc = alloc()
         rc = alloc()

@@ -904,10 +904,26 @@ def _best_stage_spec(width, a_frac, visits):
                     m2 = m1 // d2
                     if m2 < 1024 or m2 % 256 or f2 > 1.0 / (d1 * d2):
                         continue
-                    two = (c1 + b2 * _visit_ms(m1) + _bound_ms(m1, m2)
-                           + tail_cost(b1 + b2, m2))
+                    c2 = c1 + b2 * _visit_ms(m1) + _bound_ms(m1, m2)
+                    two = c2 + tail_cost(b1 + b2, m2)
                     if two < best[0]:
                         best = (two, ((b1, d1), (b2, d2)))
+                    # third boundary: pays on deep-tailed populations
+                    # now that overflow past a too-tight slice is a
+                    # front-packed mop, not a full-width re-walk
+                    for b3 in bs:
+                        f3 = walking(b1 + b2 + b3) * STAGE_MARGIN
+                        for d3 in (2, 4):
+                            m3 = m2 // d3
+                            if (m3 < 1024 or m3 % 256
+                                    or f3 > 1.0 / (d1 * d2 * d3)):
+                                continue
+                            three = (c2 + b3 * _visit_ms(m2)
+                                     + _bound_ms(m2, m3)
+                                     + tail_cost(b1 + b2 + b3, m3))
+                            if three < best[0]:
+                                best = (three,
+                                        ((b1, d1), (b2, d2), (b3, d3)))
     return best[1]
 
 

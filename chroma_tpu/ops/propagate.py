@@ -407,7 +407,10 @@ def _round_lanes(w):
 # ~240-260 ns/lane at the per-width-best traversal spec, the loop/launch
 # floor is ~6-8 ms/step ~ 30k lane-equivalents ABSOLUTE, and a boundary
 # costs about a tenth of a step at its width)
-SCHED_FLOOR_LANES = 30000    # per-step floor (absolute lanes-equivalent)
+# round-5 stage decomposition (tools_exp/exp_stage_costs, headline):
+# a 2048-wide step costs ~0.5 ms against ~134 ns/lane at 1M width ->
+# the floor is ~4k lane-equivalents, not the r4 estimate of 30k
+SCHED_FLOOR_LANES = 5000     # per-step floor (absolute lanes-equivalent)
 SCHED_BOUNDARY_FRAC = 0.10   # boundary cost, as a fraction of width
 SCHED_BOUNDARY_LANES = 8000  # boundary fixed cost (absolute)
 SCHED_MAX_STAGES = int(os.environ.get('CHROMA_SCHED_MAX_STAGES', '12'))
@@ -834,14 +837,22 @@ def _visit_sample(photons, geometry, k, n_valid):
 # constraint carries a 2x margin on the measured still-walking
 # fraction — a spec one notch too tight measured 4-20x slower
 # ((24,8) on a depth-3 262k bucket: 1188 vs 281 ns/lane).
+# Recalibrated from the round-5 staged-spec menu (tools_exp/exp_specs,
+# headline, 1M lanes): unstaged 149.4 ms / 36 visits -> 4.15 ps/lane;
+# (24,16) = 108.2 ms -> a 65k-slice boundary costs ~4.4 ms; (16,2)+(8,8)
+# = 151.7 ms -> a 524k-slice boundary ~55 ms. The boundary is dominated
+# by the SLICE width (the O(batch) front-pack fuses into the slice
+# gather), so per-slice ~75 ps and per-batch-lane ~2 ps — the r4
+# constants (25 ps/batch-lane) had it backwards, which would have made
+# the new three-boundary pyramids look 10x cheaper than they measure.
 VISIT_MS_PER_LANE = float(os.environ.get('CHROMA_VISIT_MS_PER_LANE',
-                                         '4.4e-6'))
-VISIT_MS_FLOOR = float(os.environ.get('CHROMA_VISIT_MS_FLOOR', '0.08'))
-BOUND_MS_FIXED = float(os.environ.get('CHROMA_BOUND_MS_FIXED', '10.0'))
+                                         '4.15e-6'))
+VISIT_MS_FLOOR = float(os.environ.get('CHROMA_VISIT_MS_FLOOR', '0.05'))
+BOUND_MS_FIXED = float(os.environ.get('CHROMA_BOUND_MS_FIXED', '3.0'))
 BOUND_MS_PER_LANE = float(os.environ.get('CHROMA_BOUND_MS_PER_LANE',
-                                         '25e-6'))
+                                         '2e-6'))
 BOUND_MS_PER_SLICE = float(os.environ.get('CHROMA_BOUND_MS_PER_SLICE',
-                                          '30e-6'))
+                                          '75e-6'))
 # 2.0 before round 5, when overflow past a stage boundary ran to
 # completion at FULL width (4-20x cost for a one-notch-too-tight spec);
 # the overflow path now front-packs into the slice (mesh_wide

@@ -151,6 +151,15 @@ def main():
             # K=10 leaves fit the SAME 112-col row as the fanout-32
             # bf16 bounds block: visit-count cut with ZERO extra bytes
             tb = W.build_instanced_bvh(instances, leaf_size=10)
+        elif var == 'f24':
+            # fanout 24 bf16: bounds 72 cols, unified W=96 (leaf 88
+            # dominates) — kernel sweep -25% ops, rows -14% bytes
+            tb = W.build_instanced_bvh(instances, packed_fanout=24)
+        elif var == 'f16':
+            tb = W.build_instanced_bvh(instances, packed_fanout=16)
+        elif var == 'f24k12':
+            tb = W.build_instanced_bvh(instances, packed_fanout=24,
+                                       leaf_size=12)
         elif var == 'k4':
             tb = W.build_instanced_bvh(instances, leaf_size=4)
         else:

@@ -897,6 +897,14 @@ def _best_stage_spec(width, a_frac, visits):
 
     best = (vmax * _visit_ms(width), ())
     bs = range(8, max(vmax, 9), 4)
+    # Multi-boundary pyramids are OFF by default: measured on hardware
+    # (tools_exp/exp_specs + the r5d probe regression, headline 1.46M ->
+    # 0.50M photons/s), second/third boundaries lose in practice — the
+    # pilot's visit distributions mismeasure the deep tail run-to-run,
+    # and a second slice one notch too tight floods the overflow mop.
+    # The single-cut (24,16)-style spec measured within 2% of the best
+    # of a 10-spec menu on 1M bomb rays.
+    multi = os.environ.get('CHROMA_STAGE_MULTI', '0') != '0'
     for b1 in bs:
         f1 = walking(b1) * STAGE_MARGIN
         for d1 in (2, 4, 8, 16):
@@ -907,6 +915,8 @@ def _best_stage_spec(width, a_frac, visits):
             one = c1 + tail_cost(b1, m1)
             if one < best[0]:
                 best = (one, ((b1, d1),))
+            if not multi:
+                continue
             for b2 in bs:
                 if b2 <= 0:
                     continue
